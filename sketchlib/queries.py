@@ -1,0 +1,199 @@
+"""Oracle-checked query registry — the driver contract surface.
+
+Each entry pairs a Spark query (``(spark, sf_dir) -> DataFrame``) with an
+equivalent ANSI-SQL oracle that DuckDB runs on the same parquet tables
+(SURVEY.md §5 item 5, FIXTURES.md §4). Column names and types are aligned
+on both sides because the driver hashes values after sorting columns by
+name.
+
+Cuckoo-filter queries exercise the reference's command surface end-to-end
+on real Spark: the oracles are EXACT because the checked semantics are the
+deterministic guarantees (no false negatives; exact fpcount arithmetic;
+FP32's ~9.3e-10 bound makes false positives unobservable at test scale —
+verified deterministic here, not merely probable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchlib.kernels.cuckoo import BUCK_SIZE, capacity, min_size, size_for, size_for_exactly
+from sketchlib.spark.cuckoo import (
+    CuckooSpec,
+    ShardedCuckoo,
+    build_filter,
+    probe,
+    remove_keys,
+)
+
+#: name -> (query_fn, oracle_sql | None). Registered by module import.
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_key():
+    return F.col("doc_id").cast("string")
+# generous fixed size: documents is ≤5k rows through sf0.1; 64 KiB at FP16 =
+# 32768 slots keeps fill <20% — comfortably under the 80% guidance
+_SIZE16 = 65536
+_SIZE32 = 131072
+
+
+def _build_docs_filter(spark, sf_dir, fpsize: int, num_shards: int = 2):
+    docs = _docs(spark, sf_dir)
+    size = _SIZE16 if fpsize == 2 else _SIZE32
+    spec = CuckooSpec(name=f"docs-fp{fpsize * 8}", size=size, fpsize=fpsize, num_shards=num_shards)
+    merged = build_filter(docs, spec, key=_doc_key())
+    return docs, spec, merged
+
+
+# --------------------------------------------------------------- queries
+
+
+@register(
+    "cf_membership_inserted",
+    "SELECT doc_id FROM documents",
+)
+def cf_membership_inserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF.ADD + CF.CHECK: every inserted key must probe positive (the
+    no-false-negative guarantee, reference lib:110-123). Probe ≡ left-semi
+    join oracle."""
+    docs, spec, merged = _build_docs_filter(spark, sf_dir, fpsize=2)
+    sc = ShardedCuckoo.from_df(merged, spec)
+    return probe(docs.select("doc_id"), sc, key=_doc_key()).filter(F.col("member")).select("doc_id")
+
+
+@register(
+    "cf_count_add_remove",
+    "SELECT (SELECT COUNT(*) FROM documents) - "
+    "(SELECT COUNT(*) FROM documents WHERE lang = 'en') AS n",
+)
+def cf_count_add_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF.COUNT after adds and exact deletions: fpcount is exact multiset
+    arithmetic (reference lib:106-108; oracle = COUNT of adds EXCEPT ALL
+    removes)."""
+    docs, spec, merged = _build_docs_filter(spark, sf_dir, fpsize=2)
+    en = docs.filter(F.col("lang") == "en")
+    removed = remove_keys(merged, en, spec, key=_doc_key())
+    return removed.agg(F.sum("fpcount").alias("n"))
+
+
+@register(
+    "cf_probe_after_remove_fp32",
+    "SELECT doc_id FROM documents WHERE lang <> 'en'",
+)
+def cf_probe_after_remove_fp32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-deletion correctness end-to-end at FP32: remove the 'en' docs,
+    re-probe everything — survivors all hit (no false negatives), removed
+    keys all miss (FP32 false-positive rate ~9.3e-10 → deterministically
+    zero at this scale)."""
+    docs, spec, merged = _build_docs_filter(spark, sf_dir, fpsize=4)
+    en = docs.filter(F.col("lang") == "en")
+    removed = remove_keys(merged, en, spec, key=_doc_key())
+    sc = ShardedCuckoo.from_df(removed, spec)
+    return probe(docs.select("doc_id"), sc, key=_doc_key()).filter(F.col("member")).select("doc_id")
+
+
+@register(
+    "cf_heldout_zero_fp32",
+    "SELECT CAST(0 AS BIGINT) AS fp_hits",
+)
+def cf_heldout_zero_fp32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out membership at FP32: keys never inserted probe negative
+    (observed FP count is the measurement; at the FP32 bound it is
+    deterministically 0 for this data)."""
+    docs, spec, merged = _build_docs_filter(spark, sf_dir, fpsize=4)
+    sc = ShardedCuckoo.from_df(merged, spec)
+    held = _docs(spark, sf_dir).select(
+        (F.col("doc_id") + F.lit(10_000_000)).cast("string").alias("k")
+    )
+    return probe(held, sc, key="k").agg(
+        F.sum(F.col("member").cast("long")).alias("fp_hits")
+    )
+
+
+_SIZING_POINTS = [(100, 1), (100, 2), (100, 4), (1000, 2), (1024, 2), (4096, 4), (60000, 1), (60000, 2)]
+
+_SIZING_ORACLE = (
+    "WITH pts(n, fpsize) AS (VALUES "
+    + ", ".join(f"({n}, {s})" for n, s in _SIZING_POINTS)
+    + "), "
+    "c AS (SELECT CAST(n AS BIGINT) AS n, CAST(fpsize AS BIGINT) AS fpsize, "
+    "  CAST(CASE fpsize WHEN 4 THEN 2 ELSE 4 END AS BIGINT) AS bucksize FROM pts), "
+    "f AS (SELECT *, fpsize * bucksize * 2 AS minsize, "
+    "  n + CAST(FLOOR(n / 5.0) AS BIGINT) AS padded FROM c) "
+    "SELECT n, fpsize, "
+    "  GREATEST(minsize, fpsize * CAST(POWER(2, CEIL(LOG2(n))) AS BIGINT)) AS size_exact, "
+    "  GREATEST(minsize, fpsize * CAST(POWER(2, CEIL(LOG2(padded))) AS BIGINT)) AS size_padded, "
+    "  GREATEST(minsize, fpsize * CAST(POWER(2, CEIL(LOG2(padded))) AS BIGINT)) // fpsize AS cap "
+    "FROM f"
+)
+
+
+@register("cf_sizing_math", _SIZING_ORACLE)
+def cf_sizing_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF.CAPACITY / CF.SIZEFOR (reference redis-cuckoofilter.zig:417-487,
+    math at lib:70-83): sizing arithmetic cross-checked against an
+    independent SQL formulation (pow2-ceil via LOG2/CEIL)."""
+    rows = [
+        (
+            n,
+            fpsize,
+            size_for_exactly(n, fpsize),
+            size_for(n, fpsize),
+            capacity(size_for(n, fpsize), fpsize),
+        )
+        for n, fpsize in _SIZING_POINTS
+    ]
+    return spark.createDataFrame(
+        rows, "n long, fpsize long, size_exact long, size_padded long, cap long"
+    )
+
+
+@register(
+    "lineitem_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+    "  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price, "
+    "  COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational built-ins demo (SURVEY.md §2.6-2.10: scans, filters,
+    aggregations are Catalyst built-ins). Decimal-exact sums cast back to
+    double so both engines hash identical values."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

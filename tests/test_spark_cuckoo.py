@@ -1,0 +1,138 @@
+"""Distributed-semantics tests (SURVEY.md §5 item 3): build/merge/probe/
+remove over real Spark DataFrames; merge-order and partition-count
+invariance; no-false-negatives; exact deletion; sharding; exact-SQL oracle
+equivalence (probe ≡ left-semi join)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.kernels.cuckoo import CuckooFilter, size_for
+from sketchlib.spark.cuckoo import (
+    CuckooSpec,
+    ShardedCuckoo,
+    build_filter,
+    build_partials,
+    merge_partials,
+    probe,
+    remove_keys,
+    with_hash_fp,
+)
+from sketchlib.util import i64_to_u64, shard_of
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_shard_col_matches_kernel(spark):
+    """The in-plan shard expression and the kernel shard fn must agree."""
+    from sketchlib.spark.cuckoo import _shard_col
+
+    df = spark.range(0, 1000).select(F.xxhash64("id").alias("h"))
+    rows = df.withColumn("s", _shard_col("h", 7)).collect()
+    h = i64_to_u64(np.array([r["h"] for r in rows], dtype=np.int64))
+    expect = shard_of(h, 7)
+    assert (expect == np.array([r["s"] for r in rows])).all()
+
+
+@pytest.mark.parametrize("num_shards", [1, 4])
+def test_build_probe_remove_end_to_end(spark, docs, num_shards):
+    spec = CuckooSpec(
+        name=f"docs16-{num_shards}", size=size_for(2000, 2), fpsize=2, num_shards=num_shards
+    )
+    merged = build_filter(docs, spec, key=F.col("doc_id").cast("string")).cache()
+    sc = ShardedCuckoo.from_df(merged, spec)
+    n_docs = docs.count()
+    assert sc.count() == n_docs
+    assert sc.rows == n_docs
+    assert sc.dropped == 0
+    assert not sc.is_broken() and not sc.is_toofull()
+
+    # CF.CHECK: no false negatives on every inserted key
+    probed = probe(docs, sc, key=F.col("doc_id").cast("string"))
+    assert probed.filter(~F.col("member")).count() == 0
+    # probe ≡ left-semi join oracle: held-out keys (disjoint id space)
+    held = docs.select((F.col("doc_id") + 10_000_000).cast("string").alias("k"))
+    fp_hits = probe(held, sc, key="k").filter(F.col("member")).count()
+    assert fp_hits / n_docs <= 0.01  # FP16 bound with sample slack
+
+    # CF.REM: delete the 'en' docs, then re-probe
+    en = docs.filter(F.col("lang") == "en")
+    n_en = en.count()
+    removed = remove_keys(merged, en, spec, key=F.col("doc_id").cast("string"))
+    sc2 = ShardedCuckoo.from_df(removed, spec)
+    assert not sc2.is_broken()
+    assert sc2.count() == n_docs - n_en
+    rest = probe(docs.filter(F.col("lang") != "en"), sc2, key=F.col("doc_id").cast("string"))
+    assert rest.filter(~F.col("member")).count() == 0
+
+
+def test_merged_blob_partition_invariant(spark, docs):
+    """Same input at different partition counts and merge fan-ins must give
+    a byte-identical merged filter (SURVEY.md §2.3)."""
+    spec = CuckooSpec(name="inv", size=size_for(2000, 2), fpsize=2, num_shards=2)
+
+    def blob_set(df, fanin):
+        merged = merge_partials(
+            build_partials(df, spec, key=F.col("doc_id").cast("string")), fanin=fanin
+        )
+        return {(r["shard"]): bytes(r["sketch"]) for r in merged.collect()}
+
+    a = blob_set(docs.repartition(2), fanin=64)
+    b = blob_set(docs.repartition(7), fanin=64)
+    c = blob_set(docs.repartition(13), fanin=2)  # forces multi-stage tree
+    assert a == b == c
+    # and equals a single-process kernel build over the same keys
+    rows = with_hash_fp(docs, F.col("doc_id").cast("string")).select(
+        "__cf_hash", "__cf_fp"
+    ).collect()
+    h = i64_to_u64(np.array([r["__cf_hash"] for r in rows], dtype=np.int64))
+    f = i64_to_u64(np.array([r["__cf_fp"] for r in rows], dtype=np.int64))
+    from sketchlib.util import stable_seed
+
+    for shard, blob in a.items():
+        m = shard_of(h, 2) == shard
+        local = CuckooFilter.create(spec.size, spec.fpsize, seed=stable_seed("merge", "inv", shard))
+        order = np.lexsort((f[m], h[m]))
+        # local canonical build: insert sorted canonical pairs like merge does
+        pidx = local._primary_idx(h[m][order])
+        fps = local._prep_fps(f[m][order])
+        alt = local._alt_idx_vec(pidx, fps)
+        bidx = np.minimum(pidx, alt)
+        o2 = np.lexsort((fps, bidx))
+        local.add_batch(bidx[o2].astype(np.uint64), fps[o2])
+        assert local.to_bytes() == blob
+
+
+def test_remove_nonmember_poisons_shard(spark, docs):
+    spec = CuckooSpec(name="poison", size=size_for(2000, 2), fpsize=2)
+    merged = build_filter(docs, spec, key=F.col("doc_id").cast("string"))
+    ghosts = spark.range(5).select((F.col("id") + 99_000_000).cast("string").alias("k"))
+    removed = remove_keys(merged, ghosts, spec, key="k")
+    sc = ShardedCuckoo.from_df(removed, spec)
+    assert sc.is_broken()
+
+
+def test_probe_carries_columns(spark, docs):
+    spec = CuckooSpec(name="cols", size=size_for(2000, 2), fpsize=2)
+    merged = build_filter(docs, spec, key=F.col("doc_id").cast("string"))
+    sc = ShardedCuckoo.from_df(merged, spec)
+    out = probe(docs.select("doc_id", "lang"), sc, key=F.col("doc_id").cast("string"))
+    assert set(out.columns) == {"doc_id", "lang", "member"}
+    assert out.count() == docs.count()
+
+
+def test_build_counts_toofull_drops(spark):
+    """Oversubscribed filter: drops are counted per partial and surface in
+    the merged row (reference per-op error becomes an accounted drop)."""
+    spec = CuckooSpec(name="tiny", size=64, fpsize=2)  # 32 slots
+    df = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    merged = build_filter(df, spec, key="k")
+    sc = ShardedCuckoo.from_df(merged, spec)
+    assert sc.dropped > 0
+    assert sc.count() + sc.dropped <= 500 + len(sc.filters)  # homeless per partial
+    assert sc.rows == 500
