@@ -191,6 +191,111 @@ def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- sibling sketches
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register(
+    "bloom_membership_docs",
+    "SELECT doc_id FROM documents",
+)
+def bloom_membership_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom no-false-negative guarantee: every inserted key probes positive
+    (the deletable-cuckoo's sibling; oracle = identity on inserted keys)."""
+    from sketchlib.kernels.bloom import optimal_params
+    from sketchlib.spark.agg import SketchSpec, bloom_probe, build_sketch
+
+    docs = _docs(spark, sf_dir)
+    spec = SketchSpec("q-bloom-docs", "bloom", optimal_params(10_000, 0.001))
+    bf = build_sketch(docs, spec, _doc_key())
+    return (
+        bloom_probe(docs.select("doc_id"), bf, _doc_key())
+        .filter(F.col("member"))
+        .select("doc_id")
+    )
+
+
+@register(
+    "hll_distinct_users",
+    "SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS within_bound FROM events",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality vs exact COUNT(DISTINCT): the sketch estimate must
+    land within the published 1.04/√m relative error (×3 margin). The query
+    returns the exact count AND the bound check so the oracle verifies both
+    the plumbing and the estimator."""
+    import numpy as np
+
+    from sketchlib.spark.agg import SketchSpec, build_sketch
+
+    ev = _events(spark, sf_dir)
+    hll = build_sketch(ev, SketchSpec("q-hll-users", "hll", (14,)), "user_id")
+    exact = ev.select(F.countDistinct("user_id").alias("d")).first()["d"]
+    ok = abs(hll.estimate() - exact) / max(exact, 1) <= 3 * 1.04 / np.sqrt(hll.m) + 0.01
+    return spark.createDataFrame([(exact, bool(ok))], "exact_distinct long, within_bound boolean")
+
+
+@register(
+    "cms_event_type_counts",
+    "SELECT event_type, COUNT(*) AS exact_n, TRUE AS est_ok "
+    "FROM events GROUP BY event_type",
+)
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point queries vs exact GROUP BY counts: est ≥ truth and
+    est ≤ truth + ε·N (Cormode-Muthukrishnan guarantee, FIXTURES.md §4)."""
+    import numpy as np
+
+    from sketchlib.spark.agg import SketchSpec, build_sketch
+
+    ev = _events(spark, sf_dir)
+    cms = build_sketch(ev, SketchSpec("q-cms-types", "cms", (2048, 5)), "event_type")
+    truth = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_n"), F.first(F.xxhash64("event_type")).alias("h"))
+        .collect()
+    )
+    hashes = np.array([r["h"] for r in truth], dtype=np.int64).view(np.uint64)
+    est = cms.query_hashes(hashes)
+    rows = [
+        (r["event_type"], r["exact_n"],
+         bool(e >= r["exact_n"] and e <= r["exact_n"] + cms.eps * cms.total + 1))
+        for r, e in zip(truth, est.tolist())
+    ]
+    return spark.createDataFrame(rows, "event_type string, exact_n long, est_ok boolean")
+
+
+_QUANTILES = [("p10", 0.1), ("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9), ("p99", 0.99)]
+_Q_ORACLE = " UNION ALL ".join(f"SELECT '{lbl}' AS qlabel, TRUE AS rank_ok" for lbl, _ in _QUANTILES)
+
+
+def _quantile_query(kind: str, params: tuple, eps: float):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sketchlib.spark.agg import SketchSpec, build_sketch
+
+        ev = _events(spark, sf_dir)
+        sk = build_sketch(ev, SketchSpec(f"q-{kind}-val", kind, params), "value")
+        n = ev.count()
+        ests = {lbl: sk.quantile(q) for lbl, q in _QUANTILES}
+        # exact rank of each estimate, computed in-plan in one pass
+        ranks = ev.agg(
+            *[
+                (F.sum((F.col("value") <= F.lit(est)).cast("long")) / n).alias(lbl)
+                for lbl, est in ests.items()
+            ]
+        ).first()
+        rows = [(lbl, bool(abs(ranks[lbl] - q) <= eps)) for lbl, q in _QUANTILES]
+        return spark.createDataFrame(rows, "qlabel string, rank_ok boolean")
+
+    return fn
+
+
+register("kll_value_quantiles", _Q_ORACLE)(_quantile_query("kll", (256,), eps=0.025))
+register("tdigest_value_quantiles", _Q_ORACLE)(_quantile_query("tdigest", (200,), eps=0.02))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

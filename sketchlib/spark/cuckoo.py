@@ -309,6 +309,11 @@ def probe(
 
     No false negatives; false positives within the width's published bound.
     The exact-SQL oracle of this operator is a left-semi join on the key.
+
+    CAUTION: ``key`` must be the SAME expression (including type!) used at
+    build time — ``xxhash64(long)`` ≠ ``xxhash64(string)``. Hashing
+    consistency is the caller's responsibility, mirroring the reference's
+    client-hashes contract (README.md:40-53).
     """
     had_key = key is not None
     if had_key:
