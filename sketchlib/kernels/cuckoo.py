@@ -70,6 +70,12 @@ _VERSION = 1
 # homeless_bucket_idx, fpcount, nbytes
 _HEADER = struct.Struct("<4sHBBB3sQQQQQQ")
 
+# packed canonical-pair blob: the sparse partial representation. A partial
+# built over k rows costs ~12·k bytes instead of the full filter size —
+# at cluster scale the shuffle volume is ∝ data, not ∝ partitions × size.
+_PAIRS_MAGIC = b"SKCP"
+_PAIRS_HEADER = struct.Struct("<4sHBBQQ")  # magic, ver, fpsize, bucksize, filter nbytes, npairs
+
 
 class CuckooError(Exception):
     """Base class for cuckoo-filter errors."""
@@ -159,6 +165,52 @@ def size2str(size: int) -> str:
     return f"{num}{'KMG'[pow_1024 - 1]}"
 
 
+def fnv1a_vec(fps_u64: np.ndarray, fpsize: int) -> np.ndarray:
+    """Vectorized FNV1a over little-endian fingerprint bytes (reference
+    lib:212-228; 1/2/4 unrolled rounds by width)."""
+    res = np.full(fps_u64.shape, np.uint64(FNV_OFFSET), dtype=np.uint64)
+    prime = np.uint64(FNV_PRIME)
+    for i in range(fpsize):
+        res = (res ^ ((fps_u64 >> np.uint64(8 * i)) & np.uint64(0xFF))) * prime
+    return res
+
+
+def canonical_pairs(hashes_u64, fps, size: int, fpsize: int) -> tuple[np.ndarray, np.ndarray]:
+    """(min(i, alt(i, fp)), fp) for each item — a pure function of the item
+    and the filter geometry, requiring NO filter state. This is what makes
+    the sparse-partial build embarrassingly parallel: partials never kick,
+    they just project items to canonical pairs; all kicking happens once in
+    the final per-shard merge insert."""
+    nbuckets = size // fpsize // BUCK_SIZE[fpsize]
+    mask = np.uint64(nbuckets - 1)
+    h = np.asarray(hashes_u64, dtype=np.uint64)
+    f = np.asarray(fps).astype(DTYPE[fpsize], casting="unsafe", copy=True)
+    f[f == 0] = 1
+    p = h & mask
+    alt = (p ^ fnv1a_vec(f.astype(np.uint64), fpsize)) & mask
+    return np.minimum(p, alt).astype(np.uint64), f
+
+
+def pack_pairs(bidx: np.ndarray, fps: np.ndarray, size: int, fpsize: int) -> bytes:
+    """Serialize canonical pairs: ~12 bytes/item (u64 bucket + u32 fp)."""
+    head = _PAIRS_HEADER.pack(_PAIRS_MAGIC, 1, fpsize, BUCK_SIZE[fpsize], size, len(bidx))
+    return head + bidx.astype("<u8").tobytes() + fps.astype("<u4").tobytes()
+
+
+def unpack_pairs(blob: bytes) -> tuple[int, int, np.ndarray, np.ndarray]:
+    magic, ver, fpsize, bucksize, size, n = _PAIRS_HEADER.unpack_from(blob, 0)
+    if magic != _PAIRS_MAGIC or ver != 1 or bucksize != BUCK_SIZE.get(fpsize):
+        raise BadLengthError("bad pairs blob")
+    off = _PAIRS_HEADER.size
+    bidx = np.frombuffer(blob, dtype="<u8", count=n, offset=off).copy()
+    fps = np.frombuffer(blob, dtype="<u4", count=n, offset=off + 8 * n).copy()
+    return size, fpsize, bidx, fps.astype(DTYPE[fpsize])
+
+
+def is_pairs_blob(blob: bytes) -> bool:
+    return blob[:4] == _PAIRS_MAGIC
+
+
 class CuckooFilter:
     """One cuckoo filter: a (nbuckets × bucksize) array of fingerprints plus
     the homeless slot, fpcount, broken flag, and persisted PRNG state —
@@ -226,13 +278,7 @@ class CuckooFilter:
         return (h & np.uint64(self.nbuckets - 1)).astype(np.int64)
 
     def _fnv1a_vec(self, fps_u64: np.ndarray) -> np.ndarray:
-        """Vectorized FNV1a over the little-endian fingerprint bytes
-        (reference lib:212-228; 1/2/4 unrolled rounds by width)."""
-        res = np.full(fps_u64.shape, np.uint64(FNV_OFFSET), dtype=np.uint64)
-        prime = np.uint64(FNV_PRIME)
-        for i in range(self.fpsize):
-            res = (res ^ ((fps_u64 >> np.uint64(8 * i)) & np.uint64(0xFF))) * prime
-        return res
+        return fnv1a_vec(fps_u64, self.fpsize)
 
     def _alt_idx_vec(self, idx: np.ndarray, fps: np.ndarray) -> np.ndarray:
         mask = np.uint64(self.nbuckets - 1)
@@ -541,24 +587,58 @@ class CuckooFilter:
         extracted canonically, the union multiset is sorted, and re-inserted
         into a fresh filter seeded from ``seed`` — so any merge-tree shape
         and any input partitioning yield a byte-identical blob. ``broken``
-        ORs across partials."""
-        filters = [p if isinstance(p, CuckooFilter) else cls.from_bytes(p) for p in parts]
-        if not filters:
+        ORs across partials.
+
+        Accepts dense filter blobs/objects AND packed canonical-pair blobs
+        (the sparse partial format) interchangeably."""
+        if not parts:
             raise ValueError("nothing to merge")
-        f0 = filters[0]
-        for f in filters[1:]:
-            if f.fpsize != f0.fpsize or f.nbytes != f0.nbytes:
+        geo: tuple[int, int] | None = None
+        broken = False
+        all_b: list[np.ndarray] = []
+        all_f: list[np.ndarray] = []
+        for p in parts:
+            if not isinstance(p, CuckooFilter) and is_pairs_blob(bytes(p)):
+                size, fpsize, b, fp = unpack_pairs(bytes(p))
+            else:
+                f = p if isinstance(p, CuckooFilter) else cls.from_bytes(p)
+                size, fpsize = f.nbytes, f.fpsize
+                b, fp = f.extract_pairs(canonical=True)
+                broken = broken or f.broken
+            if geo is None:
+                geo = (size, fpsize)
+            elif geo != (size, fpsize):
                 raise ValueError("merge requires equal (size, fpsize)")
-        out = cls.create(f0.nbytes, f0.fpsize, seed=seed)
-        all_b = [np.empty(0, dtype=np.int64)]
-        all_f = [np.empty(0, dtype=DTYPE[f0.fpsize])]
-        for f in filters:
-            b, fp = f.extract_pairs(canonical=True)
-            all_b.append(b)
-            all_f.append(fp)
-        bidx = np.concatenate(all_b)
-        fps = np.concatenate(all_f)
+            all_b.append(np.asarray(b, dtype=np.uint64))
+            all_f.append(np.asarray(fp, dtype=DTYPE[fpsize]))
+        out = cls.create(geo[0], geo[1], seed=seed)
+        bidx = np.concatenate(all_b) if all_b else np.empty(0, dtype=np.uint64)
+        fps = np.concatenate(all_f) if all_f else np.empty(0, dtype=DTYPE[geo[1]])
         order = np.lexsort((fps, bidx))
-        out.add_batch(bidx[order].astype(np.uint64), fps[order], on_toofull=on_toofull)
-        out.broken = any(f.broken for f in filters)
+        out.add_batch(bidx[order], fps[order], on_toofull=on_toofull)
+        out.broken = broken
         return out
+
+    @classmethod
+    def concat_pair_blobs(cls, parts: list) -> bytes:
+        """Intermediate tree-merge stage for sparse partials: concatenate
+        pair multisets WITHOUT building a filter (cheap, associative).
+        Dense inputs are converted by canonical extraction."""
+        geo: tuple[int, int] | None = None
+        all_b: list[np.ndarray] = []
+        all_f: list[np.ndarray] = []
+        for p in parts:
+            blob = bytes(p) if not isinstance(p, CuckooFilter) else None
+            if blob is not None and is_pairs_blob(blob):
+                size, fpsize, b, fp = unpack_pairs(blob)
+            else:
+                f = p if isinstance(p, CuckooFilter) else cls.from_bytes(blob)
+                size, fpsize = f.nbytes, f.fpsize
+                b, fp = f.extract_pairs(canonical=True)
+            if geo is None:
+                geo = (size, fpsize)
+            elif geo != (size, fpsize):
+                raise ValueError("concat requires equal (size, fpsize)")
+            all_b.append(np.asarray(b, dtype=np.uint64))
+            all_f.append(np.asarray(fp, dtype=np.uint32))
+        return pack_pairs(np.concatenate(all_b), np.concatenate(all_f), geo[0], geo[1])

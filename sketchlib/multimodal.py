@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with typed
+metadata extracted by Arrow-batched ``mapInPandas`` kernels — the Spark-side
+plumbing (schemas, batch shapes, partitioning) is real and tested; the
+actual codec step is a clearly-marked deterministic fake because no
+image/audio libraries exist in this container (see ``decode_real``).
+
+At 100 TB the pattern matters more than the codec: binary columns stream
+through Arrow without per-row Python, metadata extraction is a narrow
+(shuffle-free) map, and downstream filters on the typed metadata columns
+prune before any expensive decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = "n_bytes bigint, width int, height int, channels int, checksum bigint"
+
+
+def attach_payload(docs: DataFrame, col: str = "payload") -> DataFrame:
+    """Stand-in payload: the utf-8 bytes of the text column. Real pipelines
+    read the bytes from WARC/tar shards into exactly this column shape."""
+    return docs.withColumn(col, F.encode(F.col("text"), "utf-8"))
+
+
+def decode_real(payload: bytes):  # pragma: no cover - stub by design
+    """REAL DECODE STUB: the container has no PIL/cv2/ffmpeg. The import-try
+    pattern keeps the plumbing testable; swap in a real codec in production.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decoding requires PIL/cv2 which are not installed; "
+            "use fake_decode_meta for deterministic plumbing tests"
+        ) from e
+    raise NotImplementedError("real decode intentionally not implemented in this sandbox")
+
+
+def _fake_meta(payload_bytes: pd.Series) -> pd.DataFrame:
+    """Deterministic fake 'decode': pure arithmetic on the byte length plus
+    a checksum of the first 8 bytes — exactly reproducible in SQL, so the
+    plumbing gets a real oracle."""
+    n = payload_bytes.str.len().astype("int64")
+    first8 = payload_bytes.str[:8].apply(
+        lambda b: int.from_bytes(bytes(b).ljust(8, b"\0"), "little") & ((1 << 63) - 1)
+    )
+    return pd.DataFrame(
+        {
+            "n_bytes": n,
+            "width": (n % 640 + 1).astype("int32"),
+            "height": (n * 7 % 480 + 1).astype("int32"),
+            "channels": (n % 3 + 1).astype("int32"),
+            "checksum": first8.astype("int64"),
+        }
+    )
+
+
+def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | None = None) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column."""
+    from pyspark.sql import types as T
+
+    keep = keep if keep is not None else [c for c in df.columns if c != payload_col]
+    meta_fields = [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+    out_schema = T.StructType([df.schema[c] for c in keep] + meta_fields)
+
+    def run(batches):
+        for pdf in batches:
+            meta = _fake_meta(pdf[payload_col])
+            yield pd.concat([pdf[keep].reset_index(drop=True), meta], axis=1)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", dim: int = 16, keep: list[str] | None = None
+) -> DataFrame:
+    """Fixed-size float feature vector per payload: byte-histogram pooling
+    (deterministic fake feature extractor with REAL batch mechanics — the
+    numpy path is exactly what a model-embedding UDF looks like)."""
+    from pyspark.sql import types as T
+
+    keep = keep if keep is not None else [c for c in df.columns if c != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep] + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pdf[keep].reset_index(drop=True).assign(features=feats)
+
+    return df.mapInPandas(run, out_schema)

@@ -297,8 +297,12 @@ register("tdigest_value_quantiles", _Q_ORACLE)(_quantile_query("tdigest", (200,)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import sketchlib.queries_data  # noqa: F401 — registers pipeline queries
+
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    import sketchlib.queries_data  # noqa: F401 — registers pipeline queries
+
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

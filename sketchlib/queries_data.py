@@ -1,0 +1,173 @@
+"""Training-data-pipeline queries: text analysis, dedup, similarity,
+multimodal — registered into the same oracle-checked registry as the
+sketch queries (SURVEY.md §2.6-2.10 + task-mandated pipeline operators).
+
+Where the operator is expressible as portable SQL, the oracle runs the SAME
+fragments in DuckDB (true expression parity). Approximate operators
+(SimHash, MinHash-LSH) are rows-only here and ground-truth-tested in
+pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchlib.queries import _docs, register
+from sketchlib.textops import (
+    _PAD_T,
+    fingerprint_sql,
+    lang_id_sql,
+    norm_text_sql,
+    quality_sql,
+    token_count_sql,
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_simhash,
+    with_token_count,
+)
+
+# ------------------------------------------------------------ text ops
+
+_SCORES, _PRED = lang_id_sql()
+
+_LANG_ORACLE = (
+    f"WITH t AS (SELECT doc_id, {_PAD_T} AS __t FROM documents), "
+    f"s AS (SELECT doc_id, {', '.join(_SCORES)} FROM t) "
+    f"SELECT doc_id, {_PRED} AS pred_lang FROM s"
+)
+
+
+@register("lang_id_heuristic", _LANG_ORACLE)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language ID — identical SQL fragments run in Spark and
+    DuckDB, so the gate checks expression-level parity."""
+    return with_lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_token_count",
+    f"SELECT doc_id, {token_count_sql('duckdb')} AS n_tokens FROM documents",
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_count(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_quality",
+    f"SELECT doc_id, {', '.join(quality_sql('duckdb'))} FROM documents",
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, {fingerprint_sql('duckdb')} AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_docs(spark, sf_dir))
+
+
+@register("simhash_fingerprints", None)  # Spark-native (xxhash64); pytest ground truth
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_simhash(_docs(spark, sf_dir))
+
+
+# -------------------------------------------------------------- dedup
+
+@register(
+    "dedup_exact_docs",
+    f"SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size "
+    f"FROM documents GROUP BY {norm_text_sql('duckdb')}",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+_JACCARD_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ')), ' ') AS w
+  FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id, bigram
+  FROM toks, UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS t(bigram)
+  WHERE len(w) >= 2),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM bg GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM bg a JOIN bg b USING (bigram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs at threshold 0.5 (the exact
+    verifier the LSH methods are checked against)."""
+    from sketchlib.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_minhash_lsh", None)  # approximate candidates, exact-verified; pytest checks recall
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# --------------------------------------------------------- similarity
+
+
+@register(
+    "ann_cosine_topk",
+    "SELECT e.vec_id FROM embeddings e "
+    "ORDER BY ROUND(list_cosine_similarity(e.embedding, "
+    "  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 9) DESC, e.vec_id "
+    "LIMIT 10",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the vec_id=0 query vector (exact ANN
+    baseline; scores rounded to 9dp in both engines for stable ranking)."""
+    from sketchlib.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk(emb, qvec, k=10).select("vec_id")
+
+
+@register("ann_lsh_topk", None)  # approximate; recall vs exact tested in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sketchlib.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return lsh_cosine_topk(emb, qvec, k=10).select("vec_id")
+
+
+# --------------------------------------------------------- multimodal
+
+
+@register(
+    "mm_decode_meta",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width, "
+    "CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INT) AS height, "
+    "CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels "
+    "FROM documents",
+)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column + Arrow-batched metadata
+    extraction (deterministic fake decode → the arithmetic is the oracle;
+    real codec stubbed, see sketchlib.multimodal.decode_real)."""
+    from sketchlib.multimodal import attach_payload, decode_meta
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    with_payload = attach_payload(docs).select("doc_id", "payload")
+    return decode_meta(with_payload).drop("checksum")

@@ -126,7 +126,8 @@ def merge_sketch_partials(partials: DataFrame, spec: SketchSpec, fanin: int = 64
             }
         )
 
-    df = partials
+    # eager materialization: the sizing count must not re-run the build
+    df = partials.localCheckpoint(eager=True)
     while True:
         mx = (
             df.groupBy("name", "kind")
@@ -141,7 +142,7 @@ def merge_sketch_partials(partials: DataFrame, spec: SketchSpec, fanin: int = 64
             df.withColumn("_g", F.pmod(F.xxhash64("sketch"), F.lit(groups)))
             .groupBy("name", "kind", "_g")
             .applyInPandas(lambda key, pdf: mrg(key[:2], pdf), SKETCH_SCHEMA)
-        )
+        ).localCheckpoint(eager=True)
     return df.groupBy("name", "kind").applyInPandas(mrg, SKETCH_SCHEMA)
 
 

@@ -39,13 +39,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sketchlib.kernels.cuckoo import BrokenError, CuckooFilter
+from sketchlib.kernels.cuckoo import (
+    BrokenError,
+    CuckooFilter,
+    canonical_pairs,
+    pack_pairs,
+)
 from sketchlib.util import i64_to_u64, shard_of, stable_seed
 
 #: one row per (sketch name, shard[, build partition]) — the Spark analogue
 #: of the reference's keyed filter wrapper (t_cuckoofilter.zig:9-25)
 PARTIAL_SCHEMA = (
-    "name string, shard int, sketch binary, fpcount long, "
+    "name string, shard int, part_id int, sketch binary, fpcount long, "
     "toofull boolean, broken boolean, rows long, dropped long"
 )
 
@@ -104,6 +109,8 @@ def build_partials(
     hash_col: str = HASH_COL,
     fp_col: str = FP_COL,
     deterministic_partials: bool = False,
+    skip_pids: set | None = None,
+    partial_format: str = "pairs",
 ) -> DataFrame:
     """CF.ADD, distributed: one partial filter per (input partition × shard),
     built shuffle-free with ``mapInPandas`` (Arrow batches → one vectorized
@@ -114,6 +121,20 @@ def build_partials(
     under task retry (the reference's replicate-verbatim determinism,
     redis-cuckoofilter.zig:233), pass ``deterministic_partials=True`` to sort
     within partitions first.
+
+    ``skip_pids`` (checkpoint resume): partitions whose partials already
+    exist emit nothing. The skip happens INSIDE this operator so the resumed
+    plan is identical to the original — inserting a filter between an
+    upstream repartition and this build would change projection pushdown and
+    thereby the row→partition assignment of round-robin exchanges.
+
+    ``partial_format``: "pairs" (default) emits packed canonical-pair blobs
+    — ~12 bytes/row, NO kicking, no PRNG; shuffle volume scales with data,
+    never with partitions × filter size (the dense format costs the full
+    filter size per partition × shard, which inverts scaling on large
+    clusters). "dense" emits real per-partition filters (the
+    reference-shaped aggregator, kept for parity tests and for workloads
+    that probe partials directly). Both merge to byte-identical results.
     """
     if key is not None:
         df = with_hash_fp(df, key, hash_col, fp_col)
@@ -130,9 +151,15 @@ def build_partials(
         spec.seed,
     )
 
+    use_pairs = partial_format == "pairs"
+
     def build(batches):
         pid = TaskContext.get().partitionId()
+        if skip_pids and pid in skip_pids:
+            return
         filters: dict[int, CuckooFilter] = {}
+        pairs_b: dict[int, list] = {}
+        pairs_f: dict[int, list] = {}
         rows: dict[int, int] = {}
         dropped: dict[int, int] = {}
         for pdf in batches:
@@ -143,19 +170,45 @@ def build_partials(
             sh = shard_of(h, num_shards)
             for s in np.unique(sh):
                 m = sh == s
-                flt = filters.get(int(s))
-                if flt is None:
-                    flt = CuckooFilter.create(size, fpsize, seed=stable_seed(name, int(s), pid, seed))
-                    filters[int(s)] = flt
-                    dropped[int(s)] = 0
-                    rows[int(s)] = 0
-                rows[int(s)] += int(m.sum())
-                dropped[int(s)] += flt.add_batch(h[m], f[m], on_toofull="count")
-        if filters:
+                s = int(s)
+                rows[s] = rows.get(s, 0) + int(m.sum())
+                if use_pairs:
+                    b, fp = canonical_pairs(h[m], f[m], size, fpsize)
+                    pairs_b.setdefault(s, []).append(b)
+                    pairs_f.setdefault(s, []).append(fp.astype(np.uint32))
+                else:
+                    flt = filters.get(s)
+                    if flt is None:
+                        flt = CuckooFilter.create(size, fpsize, seed=stable_seed(name, s, pid, seed))
+                        filters[s] = flt
+                        dropped[s] = 0
+                    dropped[s] += flt.add_batch(h[m], f[m], on_toofull="count")
+        if use_pairs and pairs_b:
+            shards = sorted(pairs_b)
+            yield pd.DataFrame(
+                {
+                    "name": name,
+                    "shard": shards,
+                    "part_id": pid,
+                    "sketch": [
+                        pack_pairs(
+                            np.concatenate(pairs_b[s]), np.concatenate(pairs_f[s]), size, fpsize
+                        )
+                        for s in shards
+                    ],
+                    "fpcount": [rows[s] for s in shards],
+                    "toofull": False,
+                    "broken": False,
+                    "rows": [rows[s] for s in shards],
+                    "dropped": 0,
+                }
+            )
+        elif filters:
             yield pd.DataFrame(
                 {
                     "name": name,
                     "shard": list(filters),
+                    "part_id": pid,
                     "sketch": [flt.to_bytes() for flt in filters.values()],
                     "fpcount": [flt.fpcount for flt in filters.values()],
                     "toofull": [flt.is_toofull() for flt in filters.values()],
@@ -171,24 +224,34 @@ def build_partials(
 # ----------------------------------------------------------------- merge
 
 
-def _merge_group(key, pdf):
+def _merge_group(key, pdf, final=True):
     name, shard = str(key[0]), int(key[1])
-    m = CuckooFilter.merge(
-        [bytes(b) for b in pdf["sketch"]],
-        seed=stable_seed("merge", name, shard),
-        on_toofull="count",
-    )
+    blobs = [bytes(b) for b in pdf["sketch"]]
     in_fp = int(pdf["fpcount"].sum())
+    any_broken = bool(pdf["broken"].any())
+    if final:
+        m = CuckooFilter.merge(blobs, seed=stable_seed("merge", name, shard), on_toofull="count")
+        sketch = m.to_bytes()
+        fpcount = m.fpcount
+        toofull, broken = m.is_toofull(), m.is_broken() or any_broken
+        dropped = int(pdf["dropped"].sum()) + (in_fp - m.fpcount)
+    else:
+        # intermediate tree stage: cheap pair concatenation, no filter build
+        sketch = CuckooFilter.concat_pair_blobs(blobs)
+        fpcount = in_fp
+        toofull, broken = bool(pdf["toofull"].any()), any_broken
+        dropped = int(pdf["dropped"].sum())
     return pd.DataFrame(
         {
             "name": [name],
             "shard": [shard],
-            "sketch": [m.to_bytes()],
-            "fpcount": [m.fpcount],
-            "toofull": [m.is_toofull()],
-            "broken": [m.is_broken()],
+            "part_id": [-1],  # merged rows span partitions
+            "sketch": [sketch],
+            "fpcount": [fpcount],
+            "toofull": [toofull],
+            "broken": [broken],
             "rows": [int(pdf["rows"].sum())],
-            "dropped": [int(pdf["dropped"].sum()) + (in_fp - m.fpcount)],
+            "dropped": [dropped],
         }
     )
 
@@ -200,8 +263,12 @@ def merge_partials(partials: DataFrame, fanin: int = 64) -> DataFrame:
     groups (group assignment hashes the blob — arbitrary but deterministic;
     the canonical merge makes any grouping byte-equivalent), so no single
     task ever merges more than ``fanin`` blobs. Only partial blobs shuffle.
+
+    Partials are materialized eagerly (localCheckpoint) before the sizing
+    count so the expensive build stage runs exactly once — without this the
+    count action would re-execute the whole upstream build.
     """
-    df = partials
+    df = partials.localCheckpoint(eager=True)
     while True:
         mx = (
             df.groupBy("name", "shard")
@@ -215,15 +282,86 @@ def merge_partials(partials: DataFrame, fanin: int = 64) -> DataFrame:
         df = (
             df.withColumn("_g", F.pmod(F.xxhash64("sketch"), F.lit(groups)))
             .groupBy("name", "shard", "_g")
-            .applyInPandas(lambda key, pdf: _merge_group(key[:2], pdf), PARTIAL_SCHEMA)
-        )
-    return df.groupBy("name", "shard").applyInPandas(_merge_group, PARTIAL_SCHEMA)
+            .applyInPandas(lambda key, pdf: _merge_group(key[:2], pdf, final=False), PARTIAL_SCHEMA)
+        ).localCheckpoint(eager=True)
+    return df.groupBy("name", "shard").applyInPandas(
+        lambda key, pdf: _merge_group(key, pdf, final=True), PARTIAL_SCHEMA
+    )
 
 
 def build_filter(df: DataFrame, spec: CuckooSpec, key=None, **kw) -> DataFrame:
     """build_partials + merge_partials in one call."""
     fanin = kw.pop("fanin", 64)
     return merge_partials(build_partials(df, spec, key=key, **kw), fanin=fanin)
+
+
+def build_filter_direct(
+    df: DataFrame,
+    spec: CuckooSpec,
+    key=None,
+    hash_col: str = HASH_COL,
+    fp_col: str = FP_COL,
+    reduce_partitions: int | None = None,
+) -> DataFrame:
+    """One-shuffle build: repartition the (hash, fp) pairs by shard and build
+    each shard's FINAL filter in a single reduce pass — no partial blobs, no
+    merge stage, no extra jobs.
+
+    Byte-identical to ``build_filter``: the reducer inserts the same sorted
+    canonical-pair multiset with the same name-derived seed the tree merge
+    uses, so both paths produce the same blob (tested). Shuffle volume is
+    16 B/row — same order as the pairs-partials path — but in ONE stage.
+
+    Trade-off vs the partials path: fastest wall-clock and fewest stages,
+    but no per-input-partition partials for checkpoint/resume; use
+    ``checkpointed_build`` when resumability matters.
+    """
+    if key is not None:
+        df = with_hash_fp(df, key, hash_col, fp_col)
+    name, size, fpsize, num_shards = spec.name, spec.size, spec.fpsize, spec.num_shards
+    sel = df.select(
+        F.col(hash_col).cast("long").alias(hash_col), F.col(fp_col).cast("long").alias(fp_col)
+    ).repartition(reduce_partitions or num_shards, _shard_col(hash_col, num_shards))
+
+    def reduce_shards(batches):
+        hs: dict[int, list] = {}
+        fs: dict[int, list] = {}
+        rows: dict[int, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = i64_to_u64(pdf[hash_col].to_numpy())
+            f = i64_to_u64(pdf[fp_col].to_numpy())
+            sh = shard_of(h, num_shards)
+            for s in np.unique(sh):
+                m = sh == s
+                s = int(s)
+                hs.setdefault(s, []).append(h[m])
+                fs.setdefault(s, []).append(f[m])
+                rows[s] = rows.get(s, 0) + int(m.sum())
+        out = []
+        for s in sorted(hs):
+            bidx, fp = canonical_pairs(np.concatenate(hs[s]), np.concatenate(fs[s]), size, fpsize)
+            order = np.lexsort((fp, bidx))
+            flt = CuckooFilter.create(size, fpsize, seed=stable_seed("merge", name, s))
+            dropped = flt.add_batch(bidx[order], fp[order], on_toofull="count")
+            out.append(
+                {
+                    "name": name,
+                    "shard": s,
+                    "part_id": -1,
+                    "sketch": flt.to_bytes(),
+                    "fpcount": flt.fpcount,
+                    "toofull": flt.is_toofull(),
+                    "broken": flt.is_broken(),
+                    "rows": rows[s],
+                    "dropped": dropped,
+                }
+            )
+        if out:
+            yield pd.DataFrame(out)
+
+    return sel.mapInPandas(reduce_shards, PARTIAL_SCHEMA)
 
 
 # ------------------------------------------------------------ driver view
@@ -398,6 +536,7 @@ def remove_keys(
             {
                 "name": [name],
                 "shard": [shard],
+                "part_id": [-1],
                 "sketch": [flt.to_bytes()],
                 "fpcount": [flt.fpcount],
                 "toofull": [flt.is_toofull()],

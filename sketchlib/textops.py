@@ -1,0 +1,154 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-count heuristic), quality scoring (length/token/space
+ratios), token counting, and document fingerprinting — every operator is a
+pure Catalyst expression (JVM-side, whole-stage codegen, zero Python in the
+hot path). The SQL fragments are engine-portable: the same strings run in
+Spark (`selectExpr`) and in the DuckDB oracle, so the correctness gate
+checks true expression-level parity.
+
+SimHash is the one Spark-native extra (needs xxhash64): 64 bit-majority
+aggregations over exploded tokens — still pure built-ins, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------ portable SQL fragments
+
+#: occurrences of needle in padded lowered text, as an exact double
+def _occ(needle: str) -> str:
+    n = len(needle)
+    return f"(length(__t) - length(replace(__t, '{needle}', ''))) / {n}"
+
+
+_STOPWORDS = {
+    "en": [" the ", " and ", " of ", " a "],
+    "de": [" der ", " und ", " die ", " das "],
+    "fr": [" le ", " et ", " les ", " une "],
+    "es": [" el ", " los ", " una ", " y "],
+    "it": [" il ", " di ", " che ", " per "],
+}
+
+#: padded+lowered text; defined once, reused by every fragment
+_PAD_T = "(' ' || lower(text) || ' ')"
+
+
+def _lang_scores_sql() -> list[str]:
+    return [
+        "(" + " + ".join(_occ(wrd) for wrd in words) + f") AS score_{lang}"
+        for lang, words in _STOPWORDS.items()
+    ]
+
+
+def lang_id_sql() -> list[str]:
+    """SELECT-list fragments: doc text → per-language stopword scores and an
+    argmax prediction with fixed tie-break order (en>de>fr>es>it), 'und'
+    when no stopword hits at all. Portable Spark/DuckDB SQL."""
+    langs = list(_STOPWORDS)
+    scores = _lang_scores_sql()
+    total = " + ".join(f"score_{lang}" for lang in langs)
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(f"score_{lang} >= score_{o}" for o in langs[i + 1 :]) or "TRUE"
+        prior = " AND ".join(f"score_{lang} > score_{o}" for o in langs[:i]) or "TRUE"
+        branches.append(f"WHEN ({prior}) AND ({conds}) THEN '{lang}'")
+    pred = f"CASE WHEN ({total}) = 0 THEN 'und' " + " ".join(branches) + " ELSE 'und' END"
+    return scores, pred
+
+
+def ws_regex(dialect: str) -> str:
+    """Whitespace-run regex literal per engine: Spark SQL string literals
+    process backslash escapes (so the SQL text needs '\\\\s+'), DuckDB keeps
+    them raw ('\\s+'). The ONLY dialect difference in these fragments."""
+    return "'\\\\s+'" if dialect == "spark" else "'\\s+'"
+
+
+def norm_text_sql(dialect: str, col: str = "text") -> str:
+    """Whitespace-normalized lowered text."""
+    return f"trim(regexp_replace(lower({col}), {ws_regex(dialect)}, ' '))"
+
+
+def norm_ws_sql(dialect: str, col: str = "text") -> str:
+    """Whitespace-normalized text (case preserved)."""
+    return f"trim(regexp_replace({col}, {ws_regex(dialect)}, ' '))"
+
+
+def token_count_sql(dialect: str) -> str:
+    n = norm_ws_sql(dialect)
+    return (
+        f"CASE WHEN length(trim(text)) = 0 THEN 0 "
+        f"ELSE CAST((length({n}) - length(replace({n}, ' ', ''))) + 1 AS BIGINT) END"
+    )
+
+
+def fingerprint_sql(dialect: str) -> str:
+    return f"md5({norm_text_sql(dialect)})"
+
+
+def quality_sql(dialect: str) -> list[str]:
+    """Quality features + bucket, as portable fragments over ``documents``."""
+    tc = token_count_sql(dialect)
+    n = norm_ws_sql(dialect)
+    return [
+        "CAST(length(text) AS BIGINT) AS n_chars_q",
+        f"{tc} AS n_tokens",
+        # CAST keeps both engines in double: Spark parses a bare 1.0 literal
+        # as DECIMAL and would return a decimal division
+        f"CASE WHEN {tc} = 0 THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE CAST(length(replace({n}, ' ', '')) AS DOUBLE) / {tc} END "
+        "AS avg_token_len",
+        f"CASE WHEN {tc} < 10 THEN 'too_short' "
+        f"WHEN {tc} > 100000 THEN 'too_long' "
+        f"WHEN {tc} = 0 THEN 'empty' "
+        "ELSE 'ok' END AS quality_bucket",
+    ]
+
+
+# ------------------------------------------------------ Spark operators
+
+
+def with_lang_id(docs: DataFrame) -> DataFrame:
+    scores, pred = lang_id_sql()
+    return docs.selectExpr("doc_id", f"{_PAD_T} AS __t").selectExpr(
+        "doc_id", *scores
+    ).selectExpr("doc_id", f"{pred} AS pred_lang")
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    return docs.selectExpr("doc_id", *quality_sql("spark"))
+
+
+def with_token_count(docs: DataFrame) -> DataFrame:
+    return docs.selectExpr("doc_id", f"{token_count_sql('spark')} AS n_tokens")
+
+
+def with_fingerprint(docs: DataFrame) -> DataFrame:
+    return docs.selectExpr("doc_id", f"{fingerprint_sql('spark')} AS fingerprint")
+
+
+def with_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash (Charikar 2002) over whitespace tokens, entirely with
+    built-in aggregations: explode tokens → per-bit weighted majority vote →
+    recombine. JVM-side end to end; the shuffle is one groupBy(doc_id).
+
+    Spark-native (xxhash64); checked by a numpy ground-truth in tests rather
+    than a SQL oracle."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))

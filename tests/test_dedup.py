@@ -1,0 +1,90 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash-LSH recall,
+SimHash near-dups, embedding near-dups — on a controlled corpus with known
+duplicates plus the real documents table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 base docs + 20 near-duplicates (one word changed) + 2 exact dups."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(60)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    for j in range(20):  # near-dup of doc j: change one middle word
+        words = texts[j].split()
+        words[20] = "CHANGED"
+        rows.append((100 + j, " ".join(words)))
+    rows.append((200, texts[0]))  # exact dup
+    rows.append((201, texts[1]))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_dedup_exact(spark, corpus):
+    out = dedup_exact(corpus)
+    assert out.count() == 80  # 82 docs, 2 exact dups collapse
+    dups = {r["keep_doc_id"]: r["group_size"] for r in out.filter("group_size > 1").collect()}
+    assert dups == {0: 2, 1: 2}
+
+
+def test_ngram_jaccard_ground_truth(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z q")], "doc_id long, text string"
+    )
+    # bigram sets: {ab,bc,cd} vs {ab,bc,ce}: inter 2, union 4 → 0.5
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, 0.1).collect()}
+    assert out == {(1, 2): 0.5}
+
+
+def test_minhash_lsh_recall_and_precision(spark, corpus):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    # the 20 near-dup pairs (2 changed bigrams of 39 → J≈0.9) and 2 exact dups
+    assert len(exact) >= 22
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1: every pair exact-verified
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall}"
+    for k, v in lsh.items():
+        assert v == exact[k]
+
+
+def test_simhash_near_dups(spark, corpus):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(corpus, max_hamming=10).collect()}
+    # exact dups have hamming 0
+    assert (0, 200) in pairs and (1, 201) in pairs
+    found_near = sum(1 for j in range(20) if (j, 100 + j) in pairs)
+    assert found_near >= 15  # one-word change rarely flips > 10 bits
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # 3 near-dups: tiny perturbations of vectors 0..2
+    for j in range(3):
+        rows.append((100 + j, (base[j] + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in embedding_near_dups(df, 0.95).collect()}
+    for j in range(3):
+        assert (j, 100 + j) in pairs
+        assert pairs[(j, 100 + j)] > 0.99
+    assert len(pairs) == 3  # random 16-dim gaussians don't hit 0.95

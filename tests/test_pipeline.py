@@ -1,0 +1,106 @@
+"""Pages-pipeline tests: generator determinism, the byte-identical
+extracted-text invariant (input_hint), Zipf host skew + salting, and
+checkpoint/resume equivalence (SURVEY.md §5 item 6, §7.1 step 6)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.kernels.cuckoo import size_for
+from sketchlib.pipeline import (
+    checkpointed_build,
+    generate_pages,
+    heavy_keys,
+    salted_repartition,
+    with_extracted_text,
+)
+from sketchlib.spark.cuckoo import CuckooSpec, ShardedCuckoo, build_filter, probe
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 5000, n_hosts=200, seed=42).cache()
+
+
+def test_pages_shape_and_determinism(spark, pages):
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert pages.count() == 5000
+    assert pages.select("url").distinct().count() == 5000
+    # pure function of row index: partitioning must not change content
+    a = sorted(r["url"] + "|" + r["text"] for r in pages.collect())
+    again = generate_pages(spark, 5000, n_hosts=200, seed=42, partitions=13)
+    b = sorted(r["url"] + "|" + r["text"] for r in again.collect())
+    assert a == b
+    # different seed → different content
+    other = generate_pages(spark, 100, n_hosts=200, seed=7)
+    assert other.join(pages, "url", "left_semi").count() < 100
+
+
+def test_extracted_text_byte_identical(spark, pages):
+    """input_hint invariant: text == extract(html) byte-identically per url,
+    asserted with a sha2 comparison."""
+    checked = with_extracted_text(pages)
+    mismatches = checked.filter(
+        F.sha2(F.col("text"), 256) != F.sha2(F.col("text_check"), 256)
+    ).count()
+    assert mismatches == 0
+
+
+def test_host_skew_and_salting(spark, pages):
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    counts = pages.groupBy(host.alias("h")).count()
+    top = counts.orderBy(F.desc("count")).first()
+    # Zipf head: the hottest host dominates (far above uniform 5000/200 = 25)
+    assert top["count"] > 250
+    heavy = heavy_keys(pages, host, top_fraction=0.02)
+    assert top["h"] in heavy
+    salted = salted_repartition(pages, host, 8, heavy, salt_buckets=8, salt_source="url")
+    sizes = [len(p) for p in salted.rdd.glom().collect()]
+    assert max(sizes) < 2.5 * (sum(sizes) / len(sizes))  # no partition dominated
+
+
+def test_checkpointed_build_resume(spark, pages):
+    spec = CuckooSpec(name="ckpt", size=size_for(8000, 2), fpsize=2, num_shards=2)
+    key = F.col("url")
+    ref = build_filter(pages.repartition(8), spec, key=key)
+    ref_blobs = {r["shard"]: bytes(r["sketch"]) for r in ref.collect()}
+
+    d = tempfile.mkdtemp(prefix="sketchlib-ckpt-")
+    try:
+        src = pages.repartition(8)
+        m1 = checkpointed_build(src, spec, key, d)
+        blobs1 = {r["shard"]: bytes(r["sketch"]) for r in m1.collect()}
+        assert blobs1 == ref_blobs
+
+        # simulate a partial failure: drop the partials of some partitions
+        import pandas as pd
+
+        partials = spark.read.parquet(f"{d}/partials")
+        kept = partials.filter(F.col("part_id") < 5)
+        kept_pdf = kept.toPandas()
+        shutil.rmtree(f"{d}/partials")
+        spark.createDataFrame(kept_pdf, partials.schema).write.parquet(f"{d}/partials")
+
+        m2 = checkpointed_build(src, spec, key, d)
+        blobs2 = {r["shard"]: bytes(r["sketch"]) for r in m2.collect()}
+        assert blobs2 == ref_blobs  # resume == uninterrupted build
+
+        # resumed run rebuilt ONLY the missing partitions
+        pid_rows = (
+            spark.read.parquet(f"{d}/partials")
+            .groupBy("part_id")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] <= spec.num_shards for r in pid_rows)
+
+        # probe the checkpointed filter end-to-end
+        sc = ShardedCuckoo.from_df(m2, spec)
+        assert sc.count() == 5000
+        assert probe(pages, sc, key=key).filter(~F.col("member")).count() == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

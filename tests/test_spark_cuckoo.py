@@ -108,6 +108,43 @@ def test_merged_blob_partition_invariant(spark, docs):
         assert local.to_bytes() == blob
 
 
+def test_pairs_and_dense_partials_merge_identically(spark, docs):
+    """The sparse (canonical-pair) and dense partial formats must produce
+    byte-identical merged filters — they feed the same canonical multiset."""
+    spec = CuckooSpec(name="fmt", size=size_for(2000, 2), fpsize=2, num_shards=2)
+    key = F.col("doc_id").cast("string")
+
+    def blobs(fmt, fanin=64):
+        m = merge_partials(
+            build_partials(docs.repartition(5), spec, key=key, partial_format=fmt), fanin=fanin
+        )
+        return {r["shard"]: bytes(r["sketch"]) for r in m.collect()}
+
+    assert blobs("pairs") == blobs("dense") == blobs("pairs", fanin=2)
+    # pairs partials are small: ~12B/row, not the filter size
+    p = build_partials(docs.repartition(5), spec, key=key, partial_format="pairs")
+    sizes = [(r["rows"], len(bytes(r["sketch"]))) for r in p.collect()]
+    for rows, nbytes in sizes:
+        assert nbytes <= 12 * rows + 64
+
+
+def test_direct_build_matches_tree_merge(spark, docs):
+    """One-shuffle direct build must be byte-identical to the partials+tree
+    path: same sorted canonical pairs, same merge seed."""
+    from sketchlib.spark.cuckoo import build_filter_direct
+
+    spec = CuckooSpec(name="direct", size=size_for(2000, 2), fpsize=2, num_shards=4)
+    key = F.col("doc_id").cast("string")
+    tree = {r["shard"]: bytes(r["sketch"]) for r in build_filter(docs, spec, key=key).collect()}
+    direct = {
+        r["shard"]: bytes(r["sketch"])
+        for r in build_filter_direct(docs.repartition(7), spec, key=key).collect()
+    }
+    assert direct == tree
+    sc = ShardedCuckoo.from_df(build_filter_direct(docs, spec, key=key), spec)
+    assert sc.count() == docs.count()
+
+
 def test_remove_nonmember_poisons_shard(spark, docs):
     spec = CuckooSpec(name="poison", size=size_for(2000, 2), fpsize=2)
     merged = build_filter(docs, spec, key=F.col("doc_id").cast("string"))

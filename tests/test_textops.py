@@ -1,0 +1,89 @@
+"""Text-analysis operator tests: portable-SQL parity pieces are covered by
+the oracle gate; these check semantic ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.textops import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_simhash,
+    with_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_lang_id_stopword_heuristic(spark):
+    df = _df(
+        spark,
+        [
+            "here the cat and the dog of a farm a",
+            "der hund und die katze und das haus",
+            "le chat et les chiens et une maison",
+            "xyzzy qwerty plugh",  # no stopwords at all
+        ],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in with_lang_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = with_token_count(docs).join(docs.select("doc_id", "text"), "doc_id").collect()
+    for r in rows[:200]:
+        assert r["n_tokens"] == len(r["text"].split()), r["doc_id"]
+
+
+def test_quality_fields(spark, docs):
+    out = with_quality(docs).collect()
+    for r in out:
+        assert r["quality_bucket"] in ("too_short", "too_long", "ok", "empty")
+        if r["n_tokens"]:
+            assert 0 < r["avg_token_len"] < 50
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = _df(spark, ["Hello   World", "hello world", "HELLO\t\tWORLD ", "different text"])
+    fps = [r["fingerprint"] for r in with_fingerprint(df).orderBy("doc_id").collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_simhash_ground_truth(spark):
+    texts = ["the quick brown fox jumps", "the quick brown fox jumped", "totally unrelated words here"]
+    df = _df(spark, texts)
+    got = {r["doc_id"]: r["simhash"] for r in with_simhash(df).collect()}
+    # ground truth from Spark's own xxhash64 of each token, majority per bit
+    toks = df.select("doc_id", F.explode(F.split("text", r"\s+")).alias("t")).withColumn(
+        "h", F.xxhash64("t")
+    )
+    byid = {}
+    for r in toks.collect():
+        byid.setdefault(r["doc_id"], []).append(r["h"] & 0xFFFFFFFFFFFFFFFF)
+    for d, hs in byid.items():
+        bits = 0
+        for b in range(64):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote > 0:
+                bits |= 1 << b
+        expect = bits - (1 << 64) if bits >= (1 << 63) else bits
+        assert got[d] == expect, d
+    # near-identical docs → small hamming distance; unrelated → large
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(got[0], got[1]) <= 16
+    assert ham(got[0], got[2]) > 16
