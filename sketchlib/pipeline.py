@@ -129,14 +129,17 @@ def heavy_keys(df: DataFrame, key, top_fraction: float = 0.001, min_count: int |
 
 def salted_repartition(
     df: DataFrame, key, num_partitions: int, heavy: list, salt_buckets: int = 16,
-    salt_source: str | None = None,
+    salt_source=None,
 ) -> DataFrame:
     """Repartition by key, splitting only the known-heavy keys across
     ``salt_buckets`` salts (SURVEY.md §4 custom work #1). Light keys keep
     salt 0, so downstream per-key aggregations only need a second combine
     step for the heavy keys."""
     key = F.col(key) if isinstance(key, str) else key
-    src = F.col(salt_source) if salt_source else key
+    if salt_source is None:
+        src = key
+    else:
+        src = F.col(salt_source) if isinstance(salt_source, str) else salt_source
     if heavy:
         salt = F.when(
             key.isin(heavy), F.pmod(F.xxhash64(src), F.lit(salt_buckets))

@@ -191,6 +191,72 @@ def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cf_probe_cogrouped",
+    "SELECT doc_id FROM documents",
+)
+def cf_probe_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF.CHECK via the co-grouped (no-broadcast) path — the scale route for
+    filters too large to ship to every executor. Same no-false-negative
+    oracle as the broadcast probe."""
+    from sketchlib.spark.cuckoo import probe_cogrouped
+
+    docs, spec, merged = _build_docs_filter(spark, sf_dir, fpsize=2)
+    out = probe_cogrouped(merged, docs.select("doc_id"), spec, key=_doc_key())
+    return out.filter(F.col("member")).select("doc_id")
+
+
+@register(
+    "cf_flags_after_misuse",
+    "SELECT TRUE AS broken_after_bad_delete, TRUE AS toofull_after_overfill, "
+    "TRUE AS fixed_after_remove",
+)
+def cf_flags_after_misuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF.ISBROKEN / CF.ISTOOFULL / CF.FIXTOOFULL end-to-end (reference
+    semantics: bad delete poisons; overfill sets toofull; fix re-homes after
+    space is freed)."""
+    from sketchlib.spark.cuckoo import ShardedCuckoo, fix_toofull_shards, remove_keys
+
+    docs, spec, merged = _build_docs_filter(spark, sf_dir, fpsize=2, num_shards=1)
+    ghosts = spark.range(3).select((F.col("id") + 77_000_000).cast("string").alias("k"))
+    broken = ShardedCuckoo.from_df(remove_keys(merged, ghosts, spec, key="k"), spec).is_broken()
+
+    # overfill a tiny filter → toofull; remove some → fix succeeds
+    tiny = CuckooSpec(name="tiny-flags", size=64, fpsize=2, num_shards=1)  # 32 slots
+    keys = spark.range(40).select(F.col("id").cast("string").alias("k"))
+    m = build_filter(keys, tiny, key="k")
+    sc = ShardedCuckoo.from_df(m, tiny)
+    toofull = sc.is_toofull()
+    # only remove keys that are actually stored — removing one of the keys
+    # dropped during overfill would poison the filter (reference semantics)
+    present = probe(keys, sc, key="k").filter(F.col("member")).select("k").limit(10)
+    freed = remove_keys(m, present, tiny, key="k")
+    fixed = not ShardedCuckoo.from_df(fix_toofull_shards(freed), tiny).is_toofull()
+    return spark.createDataFrame(
+        [(bool(broken), bool(toofull), bool(fixed))],
+        "broken_after_bad_delete boolean, toofull_after_overfill boolean, fixed_after_remove boolean",
+    )
+
+
+@register(
+    "source_counts_salted",
+    "SELECT source, COUNT(*) AS n FROM documents GROUP BY source",
+)
+def source_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (SURVEY.md §4 custom work #1): count
+    per key with heavy keys split across salts, then recombined — identical
+    results to a plain GROUP BY (the oracle)."""
+    from sketchlib.pipeline import heavy_keys, salted_repartition
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    heavy = heavy_keys(docs, "source", top_fraction=0.05)
+    salted = salted_repartition(
+        docs, "source", 8, heavy, salt_buckets=4, salt_source=F.col("doc_id").cast("string")
+    )
+    partial = salted.groupBy("source", "_salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("source").agg(F.sum("c").alias("n"))
+
+
 # ------------------------------------------------- sibling sketches
 
 

@@ -485,6 +485,76 @@ def probe(
     return out
 
 
+def probe_cogrouped(
+    merged: DataFrame,
+    probes: DataFrame,
+    spec: CuckooSpec,
+    key=None,
+    hash_col: str = HASH_COL,
+    fp_col: str = FP_COL,
+    result_col: str = "member",
+) -> DataFrame:
+    """CF.CHECK without broadcasting: co-partition probes with their shard's
+    blob and answer each shard's probes in one vectorized kernel call.
+
+    The scale path when the total filter exceeds what every executor should
+    hold: each task receives exactly ONE shard blob plus that shard's
+    probes (both sides shuffle on the 4-byte shard id). Equivalent results
+    to :func:`probe` (tested)."""
+    had_key = key is not None
+    if had_key:
+        probes = with_hash_fp(probes, key, hash_col, fp_col)
+    keep = [c for c in probes.columns if c not in (hash_col, fp_col)] if had_key else list(probes.columns)
+    p = probes.withColumn("shard", _shard_col(hash_col, spec.num_shards)).withColumn(
+        "name", F.lit(spec.name)
+    )
+    out_schema = T.StructType(
+        [probes.schema[c] for c in keep] + [T.StructField(result_col, T.BooleanType())]
+    )
+    num_shards = spec.num_shards
+
+    def run(key_tuple, left, right):
+        if right.empty:
+            return right.reindex(columns=keep).assign(**{result_col: []})
+        if left.empty:
+            return right[keep].assign(**{result_col: False})
+        flt = CuckooFilter.from_bytes(bytes(left["sketch"].iloc[0]))
+        h = i64_to_u64(right[hash_col].to_numpy())
+        f = i64_to_u64(right[fp_col].to_numpy())
+        hit = flt.contains_batch(h, f, raise_broken_on_miss=False)
+        return right[keep].assign(**{result_col: hit})
+
+    return (
+        merged.groupby("name", "shard")
+        .cogroup(p.groupby("name", "shard"))
+        .applyInPandas(run, out_schema)
+    )
+
+
+def fix_toofull_shards(merged: DataFrame) -> DataFrame:
+    """CF.FIXTOOFULL, distributed (reference redis-cuckoofilter.zig:325-353):
+    try to re-home each shard's homeless fingerprint. Shards that stay too
+    full keep the flag (the reference errors; the flag carries it here)."""
+    from sketchlib.kernels.cuckoo import TooFullError
+
+    def fix(key, pdf):
+        out = pdf.copy()
+        sketches, toofull = [], []
+        for b in pdf["sketch"]:
+            flt = CuckooFilter.from_bytes(bytes(b))
+            try:
+                flt.fix_toofull()
+            except TooFullError:
+                pass
+            sketches.append(flt.to_bytes())
+            toofull.append(flt.is_toofull())
+        out["sketch"] = sketches
+        out["toofull"] = toofull
+        return out
+
+    return merged.groupby("name", "shard").applyInPandas(fix, PARTIAL_SCHEMA)
+
+
 # ---------------------------------------------------------------- remove
 
 

@@ -163,6 +163,42 @@ def test_probe_carries_columns(spark, docs):
     assert out.count() == docs.count()
 
 
+def test_probe_cogrouped_equals_broadcast(spark, docs):
+    from sketchlib.spark.cuckoo import probe_cogrouped
+
+    spec = CuckooSpec(name="cog", size=size_for(2000, 2), fpsize=2, num_shards=4)
+    key = F.col("doc_id").cast("string")
+    merged = build_filter(docs, spec, key=key).cache()
+    sc = ShardedCuckoo.from_df(merged, spec)
+    # probes: all inserted + disjoint held-out ids
+    probes = docs.select("doc_id").union(
+        docs.select((F.col("doc_id") + 5_000_000).alias("doc_id"))
+    )
+    bkey = F.col("doc_id").cast("string")
+    a = {r["doc_id"]: r["member"] for r in probe(probes, sc, key=bkey).collect()}
+    b = {r["doc_id"]: r["member"] for r in probe_cogrouped(merged, probes, spec, key=bkey).collect()}
+    assert a == b
+    assert all(a[r["doc_id"]] for r in docs.select("doc_id").collect())
+
+
+def test_fix_toofull_shards(spark):
+    from sketchlib.spark.cuckoo import fix_toofull_shards, remove_keys, probe
+
+    tiny = CuckooSpec(name="fixme", size=64, fpsize=2)  # 32 slots
+    keys = spark.range(40).select(F.col("id").cast("string").alias("k"))
+    m = build_filter(keys, tiny, key="k").cache()
+    sc = ShardedCuckoo.from_df(m, tiny)
+    assert sc.is_toofull()
+    # fixing while full fails (flag stays); after freeing slots it succeeds
+    still = ShardedCuckoo.from_df(fix_toofull_shards(m), tiny)
+    assert still.is_toofull()
+    present = probe(keys, sc, key="k").filter(F.col("member")).select("k").limit(10)
+    freed = remove_keys(m, present, tiny, key="k")
+    fixed = ShardedCuckoo.from_df(fix_toofull_shards(freed), tiny)
+    assert not fixed.is_toofull()
+    assert not fixed.is_broken()
+
+
 def test_build_counts_toofull_drops(spark):
     """Oversubscribed filter: drops are counted per partial and surface in
     the merged row (reference per-op error becomes an accounted drop)."""

@@ -1,0 +1,88 @@
+"""Structured Streaming tests: incremental cuckoo maintenance equals the
+batch build byte-for-byte; windowed aggregation with watermark."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.kernels.cuckoo import size_for
+from sketchlib.spark.cuckoo import CuckooSpec, ShardedCuckoo, build_filter, probe
+from sketchlib.streaming import incremental_cuckoo_sink, windowed_event_counts
+
+
+def test_incremental_stream_equals_batch(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = CuckooSpec(name="stream", size=size_for(2000, 2), fpsize=2, num_shards=2)
+    key = F.col("doc_id").cast("string")
+    batch_blobs = {
+        r["shard"]: bytes(r["sketch"]) for r in build_filter(docs, spec, key=key).collect()
+    }
+
+    work = tempfile.mkdtemp(prefix="sketchlib-stream-")
+    src = os.path.join(work, "src")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        # stream the same rows as 4 separate files (4+ micro-batches)
+        docs.withColumn("g", F.pmod("doc_id", F.lit(4))).write.partitionBy("g").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/g=*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(incremental_cuckoo_sink(spec, key, state_dir))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        merged = spark.read.parquet(os.path.join(state_dir, "state"))
+        stream_blobs = {r["shard"]: bytes(r["sketch"]) for r in merged.collect()}
+        assert stream_blobs == batch_blobs  # canonical merge: stream ≡ batch
+        sc = ShardedCuckoo.from_df(merged, spec)
+        assert sc.count() == docs.count()
+        assert probe(docs, sc, key=key).filter(~F.col("member")).count() == 0
+
+        # epoch guard: re-folding the last epoch is a no-op
+        sink = incremental_cuckoo_sink(spec, key, state_dir)
+        sink(docs, 0)  # stale epoch id — must be skipped
+        again = {
+            r["shard"]: bytes(r["sketch"])
+            for r in spark.read.parquet(os.path.join(state_dir, "state")).collect()
+        }
+        assert again == batch_blobs
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_windowed_event_counts(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="sketchlib-winstream-")
+    try:
+        events.write.parquet(os.path.join(work, "src"))
+        stream = spark.readStream.schema(events.schema).parquet(os.path.join(work, "src"))
+        agg = windowed_event_counts(stream, window="60 minutes", watermark="2 hours")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("win_counts")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT SUM(n) AS total FROM win_counts").first()["total"]
+        assert got == events.count()
+        # spot-check one window against a batch computation
+        batch = (
+            events.groupBy(F.window("ts", "60 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert spark.sql("SELECT COUNT(*) c FROM win_counts").first()["c"] == batch.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
