@@ -362,6 +362,38 @@ register("kll_value_quantiles", _Q_ORACLE)(_quantile_query("kll", (256,), eps=0.
 register("tdigest_value_quantiles", _Q_ORACLE)(_quantile_query("tdigest", (200,), eps=0.02))
 
 
+@register(
+    "top_customers_by_revenue",
+    "WITH rev AS ("
+    "  SELECT o.o_custkey, CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,"
+    "         COUNT(*) AS n_orders"
+    "  FROM orders o GROUP BY o.o_custkey) "
+    "SELECT c.c_custkey, c.c_mktsegment, r.revenue, r.n_orders FROM rev r "
+    "JOIN customer c ON c.c_custkey = r.o_custkey "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment ORDER BY r.revenue DESC, c.c_custkey) <= 3",
+)
+def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational built-ins demo: aggregation → broadcast join → window
+    top-k per group (SURVEY.md §2.6-2.10 joins/windows/top-k rows)."""
+    from pyspark.sql import Window as W
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    joined = rev.join(
+        F.broadcast(customer), rev.o_custkey == customer.c_custkey, "inner"
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("revenue"), F.col("c_custkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_custkey", "c_mktsegment", "revenue", "n_orders")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sketchlib.queries_data  # noqa: F401 — registers pipeline queries
 

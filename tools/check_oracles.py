@@ -53,6 +53,9 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = queries(), oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(f"unknown queries: {sorted(unknown)}; available: {sorted(qs)}")
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

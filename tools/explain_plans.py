@@ -1,0 +1,86 @@
+"""Physical-plan evidence: prints `.explain("formatted")` for the core
+operators and checks the scale-critical properties (column pruning to the
+key, broadcast where expected, no stray shuffles). Output is reviewed into
+PLANS.md per round.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    from sketchlib.kernels.cuckoo import size_for
+    from sketchlib.spark.cuckoo import CuckooSpec, build_filter_direct, build_partials
+    from sketchlib.spark.session import get_spark
+
+    spark = get_spark(app="plans", cores=4, shuffle_partitions=8)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = CuckooSpec("plans", size_for(2000, 2), 2, num_shards=4)
+    key = F.col("doc_id").cast("string")
+
+    def show(title, df, checks=()):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        print(f"\n{'=' * 70}\n## {title}\n{'=' * 70}")
+        print(plan[:4000])
+        for name, pred in checks:
+            ok = pred(plan)
+            print(f"  CHECK {name}: {'PASS' if ok else 'FAIL'}")
+            assert ok, f"plan check failed: {title} / {name}"
+
+    show(
+        "cuckoo build partials (shuffle-free, key-pruned scan)",
+        build_partials(docs, spec, key=key),
+        checks=[
+            ("scan reads only doc_id", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+            ("no exchange in build", lambda p: "Exchange" not in p),
+        ],
+    )
+    show(
+        "cuckoo direct build (single shuffle on shard)",
+        build_filter_direct(docs, spec, key=key),
+        checks=[
+            ("scan reads only doc_id", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+            ("exactly one exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ],
+    )
+
+    import sketchlib.queries as q
+
+    show(
+        "top_customers_by_revenue (broadcast join + window)",
+        q.top_customers_by_revenue(spark, sf_dir),
+        checks=[("broadcast join", lambda p: "BroadcastHashJoin" in p)],
+    )
+    show(
+        "lineitem_pricing_summary (pushed filter, pruned columns)",
+        q.lineitem_pricing_summary(spark, sf_dir),
+        checks=[
+            ("filter pushed to scan", lambda p: "PushedFilters: [IsNotNull(l_shipdate)" in p
+             or "PushedFilters: [" in p),
+            ("html/text never read", lambda p: "text" not in p.split("ReadSchema")[-1][:200]),
+        ],
+    )
+    from sketchlib.textops import with_simhash
+
+    show(
+        "simhash (pure built-ins, one shuffle)",
+        with_simhash(docs),
+        checks=[
+            ("map-side combine (partial_sum)", lambda p: "partial_sum" in p),
+            ("single exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ],
+    )
+    print("\nALL PLAN CHECKS PASSED")
+
+
+if __name__ == "__main__":
+    main()
