@@ -195,9 +195,10 @@ def main():
         return sc2
     timed("cuckoo_build_partials_fp16", _partials_path)
 
+    urls_only = pages.select("url")  # probe ships df columns through Arrow: select the key
     misses = timed(
         "cuckoo_probe_all",
-        lambda: probe(pages, sc16, key=F.col("url")).filter(~F.col("member")).count(),
+        lambda: probe(urls_only, sc16, key=F.col("url")).filter(~F.col("member")).count(),
     )
     assert misses == 0, "false negatives!"
     extra["probe_docs_per_sec"] = round(PAGES_N / queries["cuckoo_probe_all"], 1)

@@ -73,7 +73,12 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            # integerized to 1e-6 so cross-engine value hashes are exact
+            F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jaccard_e6"),
+        )
     )
 
 
@@ -120,11 +125,11 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0).withColumnRenamed("jaccard", "jaccard")
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
     return (
         cands.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .select("doc_a", "doc_b", "jaccard_e6")
     )
 
 

@@ -100,7 +100,8 @@ sz AS (SELECT doc_id, COUNT(*) AS s FROM bg GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
   FROM bg a JOIN bg b USING (bigram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT doc_a, doc_b, ROUND(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+SELECT doc_a, doc_b,
+       CAST(FLOOR(i * 1.0 / (sa.s + sb.s - i) * 1000000) AS BIGINT) AS jaccard_e6
 FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
 WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5
 """

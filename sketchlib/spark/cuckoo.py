@@ -448,6 +448,10 @@ def probe(
     No false negatives; false positives within the width's published bound.
     The exact-SQL oracle of this operator is a left-semi join on the key.
 
+    Performance: every column of ``df`` rides through Arrow to the Python
+    worker and back — select only the columns you need before probing
+    (probing a key-only projection is several times faster than a wide row).
+
     CAUTION: ``key`` must be the SAME expression (including type!) used at
     build time — ``xxhash64(long)`` ≠ ``xxhash64(string)``. Hashing
     consistency is the caller's responsibility, mirroring the reference's

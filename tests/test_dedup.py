@@ -45,19 +45,19 @@ def test_ngram_jaccard_ground_truth(spark):
         [(1, "a b c d"), (2, "a b c e"), (3, "x y z q")], "doc_id long, text string"
     )
     # bigram sets: {ab,bc,cd} vs {ab,bc,ce}: inter 2, union 4 → 0.5
-    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(df, 0.1).collect()}
-    assert out == {(1, 2): 0.5}
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard_e6"] for r in ngram_jaccard_pairs(df, 0.1).collect()}
+    assert out == {(1, 2): 500000}
 
 
 def test_minhash_lsh_recall_and_precision(spark, corpus):
     exact = {
-        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        (r["doc_a"], r["doc_b"]): r["jaccard_e6"]
         for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
     }
     # the 20 near-dup pairs (2 changed bigrams of 39 → J≈0.9) and 2 exact dups
     assert len(exact) >= 22
     lsh = {
-        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        (r["doc_a"], r["doc_b"]): r["jaccard_e6"]
         for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
     }
     assert set(lsh) <= set(exact)  # precision 1: every pair exact-verified

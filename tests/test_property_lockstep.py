@@ -1,0 +1,94 @@
+"""Property-based lockstep: hypothesis generates arbitrary op sequences and
+the numpy kernel must match the pure-Python model state-for-state after
+every operation (extends the fixed-seed differential in
+test_cuckoo_kernel.py with adversarial shrinking)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sketchlib.kernels.cuckoo import BrokenError, CuckooFilter, TooFullError
+from tests.pymodel import PyBroken, PyCuckoo, PyTooFull
+from tests.test_cuckoo_kernel import kstate
+
+_op = st.tuples(
+    st.sampled_from(["add", "remove", "contains", "fix", "count"]),
+    st.integers(min_value=0, max_value=2**64 - 1),  # hash
+    st.integers(min_value=0, max_value=2**32 - 1),  # fp
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    fpsize=st.sampled_from([1, 2, 4]),
+    size_pow=st.integers(min_value=5, max_value=8),  # 32..256 bytes: tiny → collisions
+    ops=st.lists(_op, min_size=1, max_size=60),
+)
+def test_kernel_matches_model(fpsize, size_pow, ops):
+    size = 1 << size_pow
+    cf = CuckooFilter.create(size, fpsize)
+    model = PyCuckoo(size, fpsize)
+    for op, h, fp in ops:
+        r1 = r2 = None
+        try:
+            if op == "add":
+                cf.add_one(h, fp)
+            elif op == "remove":
+                cf.remove_one(h, fp)
+            elif op == "contains":
+                r1 = cf.contains_one(h, fp)
+            elif op == "fix":
+                cf.fix_toofull()
+            else:
+                r1 = cf.count()
+        except (TooFullError, BrokenError) as e:
+            r1 = type(e).__name__
+        try:
+            if op == "add":
+                model.add(h, fp)
+            elif op == "remove":
+                model.remove(h, fp)
+            elif op == "contains":
+                r2 = model.contains(h, fp)
+            elif op == "fix":
+                model.fix_toofull()
+            else:
+                r2 = model.count()
+        except (PyTooFull, PyBroken) as e:
+            r2 = {"PyTooFull": "TooFullError", "PyBroken": "BrokenError"}[type(e).__name__]
+        assert r1 == r2, (op, h, fp)
+        assert kstate(cf) == model.state(), (op, h, fp)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    fpsize=st.sampled_from([1, 2, 4]),
+    n=st.integers(min_value=1, max_value=300),
+    chunks=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_merge_chunk_invariance(fpsize, n, chunks, seed):
+    """For any items and any chunking, the canonical merge is byte-identical
+    and preserves membership."""
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 2**64, n, dtype=np.uint64, endpoint=False)
+    f = rng.integers(0, 2**32, n, dtype=np.uint64)
+    from sketchlib.kernels.cuckoo import size_for
+
+    size = size_for(max(n, 8), fpsize)
+    parts = []
+    for c in range(chunks):
+        cf = CuckooFilter.create(size, fpsize, seed=c)
+        sl = slice(c * n // chunks, (c + 1) * n // chunks)
+        cf.add_batch(h[sl], f[sl])
+        parts.append(cf)
+    m1 = CuckooFilter.merge(parts, seed=9)
+    m2 = CuckooFilter.merge(parts[::-1], seed=9)
+    single = CuckooFilter.create(size, fpsize, seed=77)
+    single.add_batch(h, f)
+    m3 = CuckooFilter.merge([single], seed=9)
+    assert m1.to_bytes() == m2.to_bytes() == m3.to_bytes()
+    assert m1.contains_batch(h, f).all()
+    assert m1.count() == n
