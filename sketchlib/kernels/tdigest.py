@@ -49,6 +49,13 @@ class TDigest:
 
     def _compress(self) -> None:
         if not self._buf and len(self.means) <= self.delta + 1:
+            # merge_with concatenates unsorted centroid arrays; quantile's
+            # cumulative walk requires sorted means even when no
+            # recompression is needed
+            if len(self.means) > 1 and not np.all(np.diff(self.means) >= 0):
+                order = np.lexsort((self.weights, self.means))
+                self.means = self.means[order]
+                self.weights = self.weights[order]
             return
         m = [self.means] + self._buf
         w = [self.weights] + [np.ones(len(b)) for b in self._buf]

@@ -123,6 +123,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "hll_distinct_docs_per_lang",
+    "SELECT lang, COUNT(DISTINCT doc_id) AS exact_distinct, TRUE AS within_bound "
+    "FROM documents GROUP BY lang",
+)
+def hll_distinct_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped sketches: one HLL per language (skew-safe two-phase build),
+    each estimate checked against the exact per-group distinct count."""
+    import numpy as np
+
+    from sketchlib.spark.agg import SketchSpec, build_sketch_grouped, grouped_estimates
+
+    docs = _docs(spark, sf_dir)
+    spec = SketchSpec("g-hll-lang", "hll", (12,))
+    grouped = build_sketch_grouped(docs, "lang", spec, "doc_id")
+    est = {r["lang"]: r["estimate"] for r in grouped_estimates(grouped, spec, "lang").collect()}
+    exact = {
+        r["lang"]: r["d"]
+        for r in docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("d")).collect()
+    }
+    bound = 3 * 1.04 / np.sqrt(1 << 12) + 0.02
+    rows = [
+        (lang, exact[lang], bool(abs(est[lang] - exact[lang]) / max(exact[lang], 1) <= bound))
+        for lang in exact
+    ]
+    return spark.createDataFrame(rows, "lang string, exact_distinct long, within_bound boolean")
+
+
+_PIPE_ORACLE = (
+    "SELECT MIN(doc_id) AS doc_id FROM documents "
+    f"WHERE {token_count_sql('duckdb')} BETWEEN 10 AND 100000 "
+    f"GROUP BY {norm_text_sql('duckdb')}"
+)
+
+
+@register("training_pipeline_e2e", _PIPE_ORACLE)
+def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data flow: quality-filter → exact dedup →
+    build an FP32 cuckoo membership filter over survivors → probe the full
+    corpus. The members returned must be exactly the dedup survivors (no
+    false negatives; FP32 false positives unobservable)."""
+    from sketchlib.dedup import dedup_exact
+    from sketchlib.kernels.cuckoo import size_for
+    from sketchlib.spark.cuckoo import CuckooSpec, ShardedCuckoo, build_filter_direct, probe
+
+    docs = _docs(spark, sf_dir)
+    ok = docs.selectExpr("doc_id", "text", f"{token_count_sql('spark')} AS tc").filter(
+        "tc BETWEEN 10 AND 100000"
+    )
+    kept = dedup_exact(ok).select(F.col("keep_doc_id").alias("doc_id"))
+    spec = CuckooSpec("pipe-e2e", size_for(20_000, 4), fpsize=4, num_shards=2)
+    merged = build_filter_direct(kept, spec, key=F.col("doc_id").cast("string"))
+    sc = ShardedCuckoo.from_df(merged, spec)
+    return (
+        probe(docs.select("doc_id"), sc, key=F.col("doc_id").cast("string"))
+        .filter(F.col("member"))
+        .select("doc_id")
+    )
+
+
 # --------------------------------------------------------- similarity
 
 

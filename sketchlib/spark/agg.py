@@ -159,6 +159,75 @@ def build_sketch(df: DataFrame, spec: SketchSpec, col, col_is_hash: bool = False
     return spec.merge_blobs([blob])
 
 
+def build_sketch_grouped(
+    df: DataFrame,
+    group_col: str,
+    spec: SketchSpec,
+    col,
+    col_is_hash: bool = False,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """One merged sketch PER GROUP (e.g. an HLL per language, a t-digest per
+    host) — the grouped form of the mergeable-aggregator pattern.
+
+    Skew-safe two-phase: partials build per (group, salt) — a hot group
+    splits across ``salt_buckets`` tasks — then merge per group. Both
+    stages are ``applyInPandas`` over short keys; sketch blobs are the only
+    wide values that shuffle."""
+    col = F.col(col) if isinstance(col, str) else col
+    if spec.mode == "hash":
+        expr = col.cast("long") if col_is_hash else F.xxhash64(col)
+        sel = df.select(F.col(group_col), expr.alias(_HASH_COL))
+        salt = F.pmod(F.col(_HASH_COL), F.lit(salt_buckets))
+    else:
+        sel = df.select(F.col(group_col), col.cast("double").alias(_VAL_COL))
+        salt = F.pmod(F.xxhash64(F.col(_VAL_COL)), F.lit(salt_buckets))
+    sel = sel.withColumn("_salt", salt)
+    partial_schema = f"{group_col} string, sketch binary, rows long"
+
+    def build(key, pdf):
+        sk = spec.make(stable_seed("grouped", *key))  # hash() is per-process-salted
+        if spec.mode == "hash":
+            sk.add_hashes(i64_to_u64(pdf[_HASH_COL].to_numpy()))
+        else:
+            sk.add_values(pdf[_VAL_COL].to_numpy(dtype=np.float64))
+        return pd.DataFrame({group_col: [key[0]], "sketch": [sk.to_bytes()], "rows": [len(pdf)]})
+
+    partials = sel.groupBy(group_col, "_salt").applyInPandas(build, partial_schema)
+
+    def mrg(key, pdf):
+        m = spec.merge_blobs([bytes(b) for b in pdf["sketch"]])
+        return pd.DataFrame(
+            {group_col: [key[0]], "sketch": [m.to_bytes()], "rows": [int(pdf["rows"].sum())]}
+        )
+
+    return partials.groupBy(group_col).applyInPandas(mrg, partial_schema)
+
+
+def grouped_estimates(grouped: DataFrame, spec: SketchSpec, group_col: str) -> DataFrame:
+    """Materialize per-group estimates from grouped sketches (HLL →
+    cardinality; CMS/bloom → count; KLL/t-digest → median)."""
+    kind = spec.kind
+
+    def est(key, pdf):
+        m = spec.merge_blobs([bytes(b) for b in pdf["sketch"]])
+        if kind == "hll":
+            v = m.estimate()
+        elif kind in ("cms",):
+            v = float(m.total)
+        elif kind == "bloom":
+            v = float(m.approx_count_distinct())
+        else:
+            v = m.quantile(0.5)
+        return pd.DataFrame(
+            {group_col: [key[0]], "estimate": [float(v)], "rows": [int(pdf["rows"].sum())]}
+        )
+
+    return grouped.groupBy(group_col).applyInPandas(
+        est, f"{group_col} string, estimate double, rows long"
+    )
+
+
 def bloom_probe(df: DataFrame, bloom: BloomFilter, key, result_col: str = "member") -> DataFrame:
     """Distributed Bloom membership: broadcast the bit array, vectorized
     mapInPandas probe (no false negatives; FP within (1-e^{-kn/m})^k).

@@ -207,6 +207,25 @@ def test_tdigest_rank_error(dist):
         assert abs(_rank_of(sd, est) - q) <= 0.003, q
 
 
+def test_tdigest_small_merge_stays_sorted():
+    """Regression: merging partials whose total centroid count fits under
+    delta+1 must still answer correct quantiles (merge_with concatenates
+    unsorted arrays; the no-recompress path must sort)."""
+    rng = np.random.default_rng(21)
+    data = rng.normal(50, 10, 200)
+    parts = []
+    for c in np.array_split(data, 8):
+        t = TDigest(delta=200)
+        t.add_values(c)
+        parts.append(t.to_bytes())
+    m = TDigest.merge(parts)
+    assert abs(m.quantile(0.5) - np.median(data)) < 2.0
+    sd = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        est = m.quantile(q)
+        assert abs(_rank_of(sd, est) - q) <= 0.05, q
+
+
 def test_tdigest_merge_consistency():
     rng = np.random.default_rng(14)
     data = rng.lognormal(0, 1, 100_000)
