@@ -339,16 +339,51 @@ class CuckooFilter:
             fp = 1
         self._add_one(int(hash_) & (self.nbuckets - 1), fp)
 
+    def _bulk_place(self, bidx: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Place each item into the first free slot of its bucket, k-th
+        arrival taking the k-th free slot in slot order (the reference's
+        first-free-slot scan, lib:230-259, vectorized over the batch).
+        Returns a boolean mask of placed items; fpcount is updated."""
+        n = len(bidx)
+        if np.all(bidx[1:] >= bidx[:-1]):  # pre-sorted (the merge path)
+            order = np.arange(n)
+            sp, sf = bidx, fps
+        else:
+            order = np.argsort(bidx, kind="stable")
+            sp, sf = bidx[order], fps[order]
+        boundary = np.empty(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = sp[1:] != sp[:-1]
+        starts = np.nonzero(boundary)[0]
+        counts = np.diff(np.append(starts, n))
+        ub = sp[starts]
+        sub = self.buckets[ub.astype(np.int64)]  # (m, bucksize) gather
+        free_mask = sub == 0
+        nfree = free_mask.sum(axis=1)
+        rank = np.arange(n) - np.repeat(starts, counts)
+        fits = rank < np.repeat(nfree, counts)
+        if fits.any():
+            slot_order = np.argsort(~free_mask, axis=1, kind="stable")
+            grp = np.repeat(np.arange(len(ub)), counts)
+            self.buckets[sp[fits].astype(np.int64), slot_order[grp[fits], rank[fits]]] = sf[fits]
+            self.fpcount += int(fits.sum())
+        placed = np.empty(n, dtype=bool)
+        placed[order] = fits
+        return placed
+
     def add_batch(self, hashes, fps, on_toofull: str = "raise") -> int:
         """Vectorized bulk CF.ADD. Returns the number of items dropped as
         TooFull (0 unless ``on_toofull="count"``).
 
-        Fast path: every item whose primary bucket still has a free slot at
-        batch-placement time is placed vectorized (k-th arrival in a bucket
-        takes the k-th free slot in slot order, matching the reference's
-        first-free-slot scan, lib:230-259). The residue runs the scalar
-        kick algorithm in arrival order.
-        """
+        Three phases: (1) vectorized placement into primary buckets,
+        (2) vectorized placement of the residue into alt buckets,
+        (3) scalar reference kick algorithm for items whose pair buckets
+        are both full — Python-level work is bounded by genuine kick cases,
+        not rows. Phase 2 deviates from strict per-op order (the reference
+        force-evicts from primary before considering alt when homeless is
+        free, lib:175-186) but every fp still lands inside its own closed
+        pair ``{i, alt(i, fp)}``, so all guarantees and the canonical-pair
+        multiset are identical (tested)."""
         if self.broken:
             raise BrokenError("filter is broken")
         f = self._prep_fps(fps)
@@ -356,24 +391,13 @@ class CuckooFilter:
         n = len(f)
         if n == 0:
             return 0
-        order = np.argsort(pidx, kind="stable")
-        sp, sf = pidx[order], f[order]
-        ub, starts, counts = np.unique(sp, return_index=True, return_counts=True)
-        sub = self.buckets[ub]  # (m, bucksize) gather of touched buckets
-        free_mask = sub == 0
-        nfree = free_mask.sum(axis=1)
-        rank = np.arange(n) - np.repeat(starts, counts)
-        fits = rank < np.repeat(nfree, counts)
-        if fits.any():
-            # slot order with free slots first (stable) → rank-th free slot
-            slot_order = np.argsort(~free_mask, axis=1, kind="stable")
-            grp = np.repeat(np.arange(len(ub)), counts)
-            self.buckets[sp[fits], slot_order[grp[fits], rank[fits]]] = sf[fits]
-            self.fpcount += int(fits.sum())
+        placed = self._bulk_place(pidx, f)
         dropped = 0
-        if not fits.all():
-            residual = np.sort(order[~fits])  # arrival order
-            for i in residual:
+        if not placed.all():
+            rest = np.nonzero(~placed)[0]
+            aidx = self._alt_idx_vec(pidx[rest], f[rest])
+            placed2 = self._bulk_place(aidx, f[rest])
+            for i in rest[~placed2]:
                 try:
                     self._add_one(int(pidx[i]), int(f[i]))
                 except TooFullError:
