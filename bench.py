@@ -46,8 +46,6 @@ def materialize_pages(spark):
         ).parquet(PAGES_PATH)
     if not os.path.exists(HELDOUT_PATH):
         # disjoint url space: indices beyond the inserted range
-        from sketchlib.pipeline import generate_pages as gp
-
         spark.range(PAGES_N, PAGES_N + PAGES_N // 6).selectExpr(
             "concat('https://heldout.example.com/p/', id) AS url"
         ).write.mode("overwrite").parquet(HELDOUT_PATH)

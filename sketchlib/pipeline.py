@@ -14,8 +14,6 @@ applied to ``html`` for every url — asserted in tests with a sha2 join.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sketchlib.kernels.cuckoo import BUCK_SIZE, capacity, min_size, size_for, size_for_exactly
+from sketchlib.kernels.cuckoo import capacity, size_for, size_for_exactly
 from sketchlib.spark.cuckoo import (
     CuckooSpec,
     ShardedCuckoo,

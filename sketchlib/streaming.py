@@ -62,6 +62,44 @@ def incremental_cuckoo_sink(spec: CuckooSpec, key, state_dir: str, fanin: int = 
     return sink
 
 
+def streaming_distinct_per_key(
+    stream: DataFrame, key_col: str, count_col: str, p: int = 12
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a running HLL per key, updated each micro-batch, emitting the current
+    distinct-count estimate. The sketch blob IS the state — mergeable
+    aggregators make exactly-once streaming state one binary column."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sketchlib.kernels.hll import HyperLogLog
+    from sketchlib.util import i64_to_u64
+
+    hashed = stream.withColumn("__h", F.xxhash64(count_col))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            (blob,) = state.get
+            hll = HyperLogLog.from_bytes(bytes(blob))
+        else:
+            hll = HyperLogLog(p)
+        for pdf in pdfs:
+            if len(pdf):
+                hll.add_hashes(i64_to_u64(pdf["__h"].to_numpy()))
+        state.update((hll.to_bytes(),))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "distinct_estimate": [float(hll.estimate())]}
+        )
+
+    return hashed.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} string, distinct_estimate double",
+        stateStructType="sketch binary",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(stream: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Built-in streaming windowed aggregation with late-data watermark

@@ -13,7 +13,7 @@ aggregations over exploded tokens — still pure built-ins, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # ------------------------------------------------ portable SQL fragments

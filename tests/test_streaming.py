@@ -61,6 +61,52 @@ def test_incremental_stream_equals_batch(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_streaming_distinct_per_key_stateful(spark, sf_dir):
+    """applyInPandasWithState: running per-key HLL across micro-batches;
+    the final update-mode estimate must match the exact batch distinct
+    count within the HLL bound."""
+    from sketchlib.streaming import streaming_distinct_per_key
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="sketchlib-state-")
+    try:
+        events.withColumn("g", F.pmod("event_id", F.lit(4))).write.partitionBy("g").parquet(
+            os.path.join(work, "src")
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "src") + "/g=*")
+        )
+        out = streaming_distinct_per_key(stream, "event_type", "user_id", p=12)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("state_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode emits one row per key per batch: take the LAST emission
+        import pandas as pd
+
+        emitted = spark.sql("SELECT * FROM state_out").toPandas()
+        final = emitted.groupby("event_type").last()["distinct_estimate"]
+        exact = {
+            r["event_type"]: r["d"]
+            for r in events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect()
+        }
+        import numpy as np
+
+        for t, d in exact.items():
+            assert abs(final[t] - d) / max(d, 1) <= 3 * 1.04 / np.sqrt(1 << 12) + 0.02, t
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_windowed_event_counts(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     work = tempfile.mkdtemp(prefix="sketchlib-winstream-")
