@@ -197,6 +197,8 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine", 6).alias("cosine"),
+            # rounded to 4dp then integerized: hash-stable across engines
+            # whose float summation orders differ in the last ulps
+            F.floor(F.round("cosine", 4) * 10_000).cast("long").alias("cosine_e4"),
         )
     )

@@ -229,7 +229,13 @@ def cf_flags_after_misuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     toofull = sc.is_toofull()
     # only remove keys that are actually stored — removing one of the keys
     # dropped during overfill would poison the filter (reference semantics)
-    present = probe(keys, sc, key="k").filter(F.col("member")).select("k").limit(10)
+    present = (
+        probe(keys, sc, key="k")
+        .filter(F.col("member"))
+        .select("k")
+        .orderBy(F.col("k").cast("long"))  # deterministic choice of freed keys
+        .limit(10)
+    )
     freed = remove_keys(m, present, tiny, key="k")
     fixed = not ShardedCuckoo.from_df(fix_toofull_shards(freed), tiny).is_toofull()
     return spark.createDataFrame(

@@ -116,6 +116,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+# DOUBLE[] casts: duckdb's float32 list kernels differ from Spark's double
+# fold by ~1 ulp, which flips 4th-decimal roundings
+_EMB_DUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, CAST(FLOOR(ROUND(c, 4) * 10000) AS BIGINT) AS cosine_e4
+FROM pairs WHERE c >= 0.3
+"""
+
+
+@register("dedup_embedding_cosine", _EMB_DUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact brute force — the
+    baseline the LSH variant is checked against). Cosines integerized at
+    4dp for cross-engine hash stability."""
+    from sketchlib.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.3)
+
+
 @register("dedup_minhash_lsh", None)  # approximate candidates, exact-verified; pytest checks recall
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.dedup import minhash_lsh_pairs
@@ -189,8 +213,8 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_topk",
     "SELECT e.vec_id FROM embeddings e "
-    "ORDER BY ROUND(list_cosine_similarity(e.embedding, "
-    "  (SELECT embedding FROM embeddings WHERE vec_id = 0)), 9) DESC, e.vec_id "
+    "ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+    "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 9) DESC, e.vec_id "
     "LIMIT 10",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -83,8 +83,8 @@ def test_embedding_near_dups(spark):
     for j in range(3):
         rows.append((100 + j, (base[j] + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist()))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = {(r["vec_a"], r["vec_b"]): r["cosine"] for r in embedding_near_dups(df, 0.95).collect()}
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine_e4"] for r in embedding_near_dups(df, 0.95).collect()}
     for j in range(3):
         assert (j, 100 + j) in pairs
-        assert pairs[(j, 100 + j)] > 0.99
+        assert pairs[(j, 100 + j)] > 9900
     assert len(pairs) == 3  # random 16-dim gaussians don't hit 0.95
