@@ -400,6 +400,76 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "segment_shipping_revenue",
+    "SELECT c.c_mktsegment, o.o_orderpriority, "
+    "  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * "
+    "           (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue, "
+    "  COUNT(*) AS n_lines "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "WHERE l.l_shipdate > DATE '1995-03-15' "
+    "GROUP BY c.c_mktsegment, o.o_orderpriority",
+)
+def segment_shipping_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way join (fact → dim → dim, dims broadcast) + filtered
+    aggregation — TPC-H-Q3-shaped relational breadth (SURVEY.md §2.6)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(p * (F.lit(1).cast("decimal(18,4)") - d)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "builtin_sketch_crosscheck",
+    "SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS hll_ok, "
+    "TRUE AS builtin_ok, TRUE AS kll_vs_builtin_ok FROM events",
+)
+def builtin_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Our sketches vs Spark's own approximate built-ins (SURVEY.md §2.6
+    cross-checks): HLL vs approx_count_distinct vs exact, and KLL vs
+    percentile_approx — all must sit within the published bounds."""
+    import numpy as np
+
+    from sketchlib.spark.agg import SketchSpec, build_sketch
+
+    ev = _events(spark, sf_dir)
+    hll = build_sketch(ev, SketchSpec("xc-hll", "hll", (14,)), "user_id")
+    kll = build_sketch(ev, SketchSpec("xc-kll", "kll", (256,)), "value")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("builtin_acd"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("builtin_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    bound = 3 * 1.04 / np.sqrt(hll.m) + 0.01
+    hll_ok = abs(hll.estimate() - row["exact"]) / max(row["exact"], 1) <= bound
+    builtin_ok = abs(row["builtin_acd"] - row["exact"]) / max(row["exact"], 1) <= 0.06
+    # compare medians by rank distance through the exact distribution
+    n = row["n"]
+    ranks = ev.agg(
+        (F.sum((F.col("value") <= F.lit(kll.quantile(0.5))).cast("long")) / n).alias("r_kll"),
+        (F.sum((F.col("value") <= F.lit(float(row["builtin_p50"]))).cast("long")) / n).alias("r_b"),
+    ).first()
+    kll_ok = abs(ranks["r_kll"] - 0.5) <= 0.025 and abs(ranks["r_b"] - 0.5) <= 0.025
+    return spark.createDataFrame(
+        [(row["exact"], bool(hll_ok), bool(builtin_ok), bool(kll_ok))],
+        "exact_distinct long, hll_ok boolean, builtin_ok boolean, kll_vs_builtin_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sketchlib.queries_data  # noqa: F401 — registers pipeline queries
 
