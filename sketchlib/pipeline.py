@@ -116,13 +116,84 @@ def with_extracted_text(df: DataFrame, html_col: str = "html", out_col: str = "t
 
 
 def heavy_keys(df: DataFrame, key, top_fraction: float = 0.001, min_count: int | None = None) -> list:
-    """Detect heavy-hitter keys with a cheap count aggregation (at real
-    scale swap in the CMS sketch for a single-pass approximate version)."""
+    """Detect heavy-hitter keys with an exact count aggregation (the
+    correctness baseline; see :func:`heavy_keys_approx` for the single-pass
+    sketch version used at scale)."""
     key = F.col(key) if isinstance(key, str) else key
     counts = df.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("c"))
     total = df.count()
     thresh = min_count if min_count is not None else max(2, int(total * top_fraction))
     return [r["k"] for r in counts.filter(F.col("c") >= thresh).collect()]
+
+
+def heavy_keys_approx(
+    df: DataFrame,
+    key,
+    top_fraction: float = 0.001,
+    candidates_per_partition: int = 64,
+    cms_params: tuple = (8192, 5),
+) -> list:
+    """Single-pass approximate heavy hitters: each partition emits a CMS
+    partial AND its local top-k candidate keys from the same Arrow batches;
+    candidates union at the driver and are scored against the merged CMS.
+
+    CMS overestimates only, so recall is 1 for any key that makes some
+    partition's local top-k (every globally-heavy key must be locally heavy
+    somewhere by pigeonhole when k ≥ 1/top_fraction per partition share);
+    the CMS threshold check removes false candidates up to ε·N slack. One
+    pass over the data, no groupBy shuffle on the raw key."""
+    import pandas as pd
+
+    from sketchlib.kernels.cms import CountMinSketch
+    from sketchlib.util import i64_to_u64
+
+    key = F.col(key) if isinstance(key, str) else key
+    sel = df.select(key.cast("string").alias("__k"), F.xxhash64(key.cast("string")).alias("__h"))
+    w, d = cms_params
+
+    def scan(batches):
+        cms = CountMinSketch(w, d)
+        counts: dict[str, int] = {}
+        hashes: dict[str, int] = {}
+        rows = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            h = i64_to_u64(pdf["__h"].to_numpy())
+            cms.add_hashes(h)
+            rows += len(pdf)
+            vc = pdf["__k"].value_counts().head(candidates_per_partition * 2)
+            for k, c in vc.items():
+                counts[k] = counts.get(k, 0) + int(c)
+            for k, hv in zip(pdf["__k"], pdf["__h"]):
+                if k in counts and k not in hashes:
+                    hashes[k] = int(hv)
+        if rows == 0:
+            return
+        top = sorted(counts.items(), key=lambda kv: -kv[1])[:candidates_per_partition]
+        cands = [k for k, _ in top] or [None]
+        yield pd.DataFrame(
+            {
+                "cand": cands,
+                "cand_hash": [hashes[k] if k is not None else 0 for k in cands],
+                "sketch": [cms.to_bytes()] + [None] * (len(cands) - 1),
+                "rows": rows,
+            }
+        )
+
+    out = sel.mapInPandas(scan, "cand string, cand_hash long, sketch binary, rows long").collect()
+    if not out:
+        return []
+    import numpy as np
+
+    cms = CountMinSketch.merge([bytes(r["sketch"]) for r in out if r["sketch"] is not None])
+    cand = {r["cand"]: r["cand_hash"] for r in out if r["cand"] is not None}
+    if not cand:
+        return []
+    thresh = max(2, int(cms.total * top_fraction))
+    hs = np.array(list(cand.values()), dtype=np.int64).view(np.uint64)
+    est = cms.query_hashes(hs)
+    return [k for k, e in zip(cand.keys(), est.tolist()) if e >= thresh]
 
 
 def salted_repartition(

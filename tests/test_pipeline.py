@@ -63,6 +63,18 @@ def test_host_skew_and_salting(spark, pages):
     assert max(sizes) < 2.5 * (sum(sizes) / len(sizes))  # no partition dominated
 
 
+def test_heavy_keys_approx_matches_exact(spark, pages):
+    """Single-pass sketch heavy hitters vs the exact groupBy baseline:
+    recall 1 on genuinely heavy hosts; false extras bounded by CMS ε·N."""
+    from sketchlib.pipeline import heavy_keys_approx
+
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    exact = set(heavy_keys(pages, host, top_fraction=0.02))
+    approx = set(heavy_keys_approx(pages, host, top_fraction=0.02))
+    assert exact <= approx  # no heavy key missed
+    assert len(approx) <= len(exact) + 5  # CMS slack only
+
+
 def test_checkpointed_build_resume(spark, pages):
     spec = CuckooSpec(name="ckpt", size=size_for(8000, 2), fpsize=2, num_shards=2)
     key = F.col("url")
