@@ -9,11 +9,14 @@
   verified with EXACT Jaccard — so with enough bands the output equals the
   exact-Jaccard pairs (tested), at a tiny fraction of the all-pairs cost
 - SimHash near-dup: Hamming-distance buckets over textops.with_simhash
-- embedding near-dup: exact cosine pairs over the embeddings table
+- embedding near-dup: banded sign-LSH candidates + exact cosine re-score
+  (embedding_lsh_pairs — the scale path); brute-force embedding_near_dups
+  kept as its correctness baseline / test oracle
 
 Scale notes (10^12 docs): every method here shuffles on a *derived short
-key* (hash, band bucket, token) — never on raw text; the all-pairs verifier
-is only ever run on LSH candidates, not the cross product.
+key* (hash, band bucket, token) — never on raw text; exact verification
+only ever touches candidate pairs (cost ∝ |candidates|), never the corpus
+cross product or the all-pairs-sharing-a-token join.
 """
 
 from __future__ import annotations
@@ -99,16 +102,29 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
 ) -> DataFrame:
-    """MinHash-LSH candidate generation + exact-Jaccard verification.
+    """MinHash-LSH candidate generation + candidate-only exact verification.
 
     Signatures are banded (bands × rows = num_hashes); docs sharing any band
     bucket become candidates (self-join on the band hash — the shuffle key
     is an 8-byte hash, never text). Candidates are verified with EXACT
-    bigram Jaccard, so false positives are eliminated; recall is the LSH
-    s-curve 1-(1-t^r)^b (≈0.9997 at t=0.5 with 16 bands × 4 rows).
+    bigram Jaccard computed ONLY over the candidate pairs: each pair's two
+    bigram sets are joined back through the candidate list, so verification
+    cost scales with |candidates| × set size — never with the corpus's
+    all-pairs-sharing-a-bigram join (stop-word bigrams make that quadratic).
+    Precision is 1 (exact re-score); recall is the LSH s-curve 1-(1-t^r)^b
+    (≈0.9997 at t=0.5 with 16 bands × 4 rows).
+
+    ``threshold`` must be > 0 (candidate pairs sharing zero bigrams are
+    dropped, which is only correct when jaccard 0 cannot pass the filter).
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0")
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes)
+    sets = _bigram_sets(docs).cache()  # reused: signatures + sizes + verify
+    mins = [
+        F.min(F.xxhash64("bigram", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    sig = sets.groupBy("doc_id").agg(*mins)
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias(f"band{b}")
         for b in range(bands)
@@ -125,19 +141,52 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    # exact Jaccard restricted to candidates: expand doc_a's bigrams through
+    # the candidate list, equi-join doc_b's on (doc_b, bigram) — intersection
+    # size per pair; set sizes arrive by broadcast. No bigram-only shuffle.
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), "bigram")
+    sb = sets.select(F.col("doc_id").alias("doc_b"), "bigram")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "bigram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
-        .select("doc_a", "doc_b", "jaccard_e6")
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jaccard") * 1_000_000).cast("long").alias("jaccard_e6"),
+        )
     )
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicates: 64-bit fingerprints bucketed by 4×16-bit
-    blocks (any pair within Hamming ≤ 3 must share at least one block —
-    pigeonhole over 4 blocks); block-join then exact popcount filter."""
+    """SimHash near-duplicates: 64-bit fingerprints bucketed by
+    ``max_hamming + 1`` contiguous bit blocks (pigeonhole: a pair within
+    Hamming ≤ h differs in ≤ h blocks, so it must agree on ≥ 1 of h+1
+    blocks); block-join then exact popcount filter. The block count is
+    DERIVED from ``max_hamming`` — recall is 1 for any radius (more blocks
+    → shorter blocks → more candidates, the correct recall/cost trade)."""
     from sketchlib.textops import with_simhash
+
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_blocks = max_hamming + 1
+    # contiguous block boundaries covering all 64 bits (sizes differ by ≤1)
+    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
+
+    def _block(b: int) -> F.Column:
+        width = bounds[b + 1] - bounds[b]
+        v = F.shiftrightunsigned("simhash", bounds[b])
+        return v if width == 64 else v.bitwiseAND(F.lit((1 << width) - 1))
 
     sim = with_simhash(docs).cache()
     blocks = sim.select(
@@ -145,11 +194,8 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "simhash",
         F.explode(
             F.array(*[
-                F.struct(
-                    F.lit(b).alias("blk"),
-                    F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
-                )
-                for b in range(4)
+                F.struct(F.lit(b).alias("blk"), _block(b).alias("v"))
+                for b in range(n_blocks)
             ])
         ).alias("bv"),
     ).select("doc_id", "simhash", F.col("bv.blk").alias("blk"), F.col("bv.v").alias("v"))
@@ -171,34 +217,104 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs
 
 
+def _normed_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding-as-double, norm): products fold in float64 so
+    cosines are bit-identical to the DuckDB oracle's CAST(... AS DOUBLE[])
+    path (float32 products can flip 4dp roundings)."""
+    from sketchlib.similarity import as_double
+
+    v = as_double("embedding")
+    return emb.select(
+        F.col("vec_id"),
+        v.alias("embedding"),
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)).alias("nrm"),
+    )
+
+
+def _pair_cosine(a_emb, b_emb) -> F.Column:
+    return F.aggregate(F.zip_with(a_emb, b_emb, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """Exact cosine near-duplicate pairs over an embedding column.
 
-    Brute-force within-join (quadratic): the correctness baseline. At real
-    scale, pre-bucket with the LSH variant in similarity.py and verify only
-    candidates, exactly like MinHash-LSH above.
+    Brute-force within-join (quadratic): the correctness baseline and the
+    test oracle for :func:`embedding_lsh_pairs` — the scale path. Never run
+    this at real corpus size.
     """
-    norm = emb.select(
-        F.col("vec_id"),
-        F.col("embedding"),
-        F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)).alias("nrm"),
-    )
+    norm = _normed_embeddings(emb)
     a, b = norm.alias("a"), norm.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
     return (
         a.crossJoin(b)
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", dot / (F.col("a.nrm") * F.col("b.nrm")))
+        .withColumn("cosine", _pair_cosine(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")))
         .filter(F.col("cosine") >= threshold)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             # rounded to 4dp then integerized: hash-stable across engines
             # whose float summation orders differ in the last ulps
+            F.floor(F.round("cosine", 4) * 10_000).cast("long").alias("cosine_e4"),
+        )
+    )
+
+
+def embedding_lsh_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded sign-LSH pairwise near-dup — the scale path for embedding
+    dedup (mirrors the MinHash-LSH shape: bucket → candidate self-join →
+    exact re-score of candidates only).
+
+    The ``n_planes``-bit sign signature (random hyperplanes, Charikar 2002)
+    is split into ``bands`` blocks; vectors agreeing on any block become
+    candidates (self-join on the short (band, block) key — never all
+    pairs), then candidates get EXACT double-precision cosine re-scoring.
+    Precision 1; recall = 1-(1-p^r)^b with p = 1-θ/π (≈0.985 at cosine
+    0.95 with 4 bands × 4 planes; measured vs the brute-force baseline in
+    tests). Output schema matches :func:`embedding_near_dups`.
+    """
+    from sketchlib.similarity import hyperplanes, sig_expr
+
+    if n_planes % bands:
+        raise ValueError("bands must divide n_planes")
+    r = n_planes // bands
+    dim = len(emb.select("embedding").first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    norm = _normed_embeddings(emb).withColumn("sig", sig_expr("embedding", planes)).cache()
+    blocks = norm.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("sig", b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("blk"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bv"),
+    ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.blk").alias("blk"))
+    x, y = blocks.alias("x"), blocks.alias("y")
+    cands = (
+        x.join(y, ["band", "blk"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = norm.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    vb = norm.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine", _pair_cosine(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "vec_a",
+            "vec_b",
             F.floor(F.round("cosine", 4) * 10_000).cast("long").alias("cosine_e4"),
         )
     )

@@ -133,15 +133,22 @@ def heavy_keys_approx(
     candidates_per_partition: int = 64,
     cms_params: tuple = (8192, 5),
 ) -> list:
-    """Single-pass approximate heavy hitters: each partition emits a CMS
-    partial AND its local top-k candidate keys from the same Arrow batches;
-    candidates union at the driver and are scored against the merged CMS.
+    """Single-pass approximate heavy hitters: each partition maintains a
+    Misra-Gries summary fed from EVERY Arrow batch's full value_counts
+    (vectorized — no per-row Python) plus a CMS partial over the same
+    batches; MG survivors union at the driver and are scored against the
+    merged CMS.
 
-    CMS overestimates only, so recall is 1 for any key that makes some
-    partition's local top-k (every globally-heavy key must be locally heavy
-    somewhere by pigeonhole when k ≥ 1/top_fraction per partition share);
-    the CMS threshold check removes false candidates up to ε·N slack. One
-    pass over the data, no groupBy shuffle on the raw key."""
+    Recall: a key with global fraction ≥ top_fraction has local fraction
+    ≥ top_fraction in at least one partition (pigeonhole), and Misra-Gries
+    with capacity m keeps every key whose partition count exceeds
+    rows/(m+1) — the capacity is sized to max(candidates_per_partition,
+    2/top_fraction) so such keys always survive (unlike per-batch top-k,
+    which can drop a key that is heavy across the partition but never tops
+    any single batch). CMS overestimates only, so the threshold check
+    removes false candidates up to ε·N slack without losing true ones. One
+    pass over the data, no groupBy shuffle on the raw key; candidate
+    hashes come from one tiny driver-side job over the survivor strings."""
     import pandas as pd
 
     from sketchlib.kernels.cms import CountMinSketch
@@ -150,50 +157,57 @@ def heavy_keys_approx(
     key = F.col(key) if isinstance(key, str) else key
     sel = df.select(key.cast("string").alias("__k"), F.xxhash64(key.cast("string")).alias("__h"))
     w, d = cms_params
+    cap = max(candidates_per_partition, int(2.0 / max(top_fraction, 1e-6)))
 
     def scan(batches):
         cms = CountMinSketch(w, d)
-        counts: dict[str, int] = {}
-        hashes: dict[str, int] = {}
+        mg: dict[str, int] = {}
         rows = 0
         for pdf in batches:
             if pdf.empty:
                 continue
-            h = i64_to_u64(pdf["__h"].to_numpy())
-            cms.add_hashes(h)
+            cms.add_hashes(i64_to_u64(pdf["__h"].to_numpy()))
             rows += len(pdf)
-            vc = pdf["__k"].value_counts().head(candidates_per_partition * 2)
-            for k, c in vc.items():
-                counts[k] = counts.get(k, 0) + int(c)
-            for k, hv in zip(pdf["__k"], pdf["__h"]):
-                if k in counts and k not in hashes:
-                    hashes[k] = int(hv)
+            for k, c in pdf["__k"].value_counts().items():  # full batch counts
+                mg[k] = mg.get(k, 0) + int(c)
+            if len(mg) > cap:
+                # Misra-Gries batch decrement: subtract the overflow-rank
+                # count from every key, drop the non-positive — total error
+                # per key is bounded by rows/(cap+1)
+                dec = sorted(mg.values())[len(mg) - cap - 1]
+                mg = {k: v - dec for k, v in mg.items() if v > dec}
         if rows == 0:
             return
-        top = sorted(counts.items(), key=lambda kv: -kv[1])[:candidates_per_partition]
-        cands = [k for k, _ in top] or [None]
+        cands = list(mg) or [None]
         yield pd.DataFrame(
             {
                 "cand": cands,
-                "cand_hash": [hashes[k] if k is not None else 0 for k in cands],
                 "sketch": [cms.to_bytes()] + [None] * (len(cands) - 1),
                 "rows": rows,
             }
         )
 
-    out = sel.mapInPandas(scan, "cand string, cand_hash long, sketch binary, rows long").collect()
+    out = sel.mapInPandas(scan, "cand string, sketch binary, rows long").collect()
     if not out:
         return []
     import numpy as np
 
     cms = CountMinSketch.merge([bytes(r["sketch"]) for r in out if r["sketch"] is not None])
-    cand = {r["cand"]: r["cand_hash"] for r in out if r["cand"] is not None}
+    cand = sorted({r["cand"] for r in out if r["cand"] is not None})
     if not cand:
         return []
+    # hashes of the (few) candidates via the same in-plan expression used
+    # for the CMS — not a data pass
+    spark = df.sparkSession
+    hrows = (
+        spark.createDataFrame([(k,) for k in cand], "k string")
+        .select("k", F.xxhash64("k").alias("h"))
+        .collect()
+    )
     thresh = max(2, int(cms.total * top_fraction))
-    hs = np.array(list(cand.values()), dtype=np.int64).view(np.uint64)
+    hs = np.array([r["h"] for r in hrows], dtype=np.int64).view(np.uint64)
     est = cms.query_hashes(hs)
-    return [k for k, e in zip(cand.keys(), est.tolist()) if e >= thresh]
+    return [r["k"] for r, e in zip(hrows, est.tolist()) if e >= thresh]
 
 
 def salted_repartition(
@@ -221,12 +235,31 @@ def salted_repartition(
 # ------------------------------------------------- checkpoint / resume
 
 
+def _input_fingerprint(df: DataFrame, input_id: str | None) -> str:
+    """Identity of the build input recorded in checkpoint meta: the sha256
+    of the sorted source-file listing (path is identity enough for
+    immutable data lakes), mixed with an optional caller-supplied id.
+    Resuming against a DIFFERENT input would silently merge stale partials
+    with new ones — a mismatch must force a full rebuild."""
+    import hashlib
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    h = hashlib.sha256("\n".join(files).encode())
+    if input_id is not None:
+        h.update(b"\x00" + input_id.encode())
+    return h.hexdigest()
+
+
 def checkpointed_build(
     df: DataFrame,
     spec,
     key,
     checkpoint_dir: str,
     fanin: int = 64,
+    input_id: str | None = None,
 ) -> DataFrame:
     """Resumable distributed cuckoo build (north_rule requirement).
 
@@ -239,8 +272,10 @@ def checkpointed_build(
     guarantees the result is byte-identical to an uninterrupted build.
 
     Resume validity requires the same input and partition count as the
-    original run; ``meta.json`` records both and a mismatch triggers a
-    clean full rebuild instead of a silently wrong resume.
+    original run; ``meta.json`` records the spec, the partition count, AND
+    the input identity (source-file fingerprint + optional caller-supplied
+    ``input_id`` for non-file inputs) — any mismatch triggers a clean full
+    rebuild instead of a silently wrong resume.
     """
     import json
     import os
@@ -259,6 +294,7 @@ def checkpointed_build(
         "num_shards": spec.num_shards,
         "seed": spec.seed,
         "n_partitions": n_parts,
+        "input": _input_fingerprint(df, input_id),
     }
     done: set[int] = set()
     if os.path.exists(meta_path):

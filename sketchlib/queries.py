@@ -47,15 +47,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_key():
     return F.col("doc_id").cast("string")
-# generous fixed size: documents is ≤5k rows through sf0.1; 64 KiB at FP16 =
-# 32768 slots keeps fill <20% — comfortably under the 80% guidance
-_SIZE16 = 65536
-_SIZE32 = 131072
 
 
 def _build_docs_filter(spark, sf_dir, fpsize: int, num_shards: int = 2):
+    """Size the filter from the actual row count (CF.SIZEFOR semantics) so
+    the cf_* queries are sf-proof: size_for pads by 20% then pow2-ceils,
+    keeping fill ≤ ~60% at any scale factor (one extra count job on a
+    doc_id-pruned scan — negligible)."""
     docs = _docs(spark, sf_dir)
-    size = _SIZE16 if fpsize == 2 else _SIZE32
+    n = docs.count()
+    # per-SHARD size sized for the FULL count: shards split rows by hash, so
+    # each holds ~n/num_shards — sizing every shard for n absorbs any skew
+    # at test scale for a few KiB (size is per shard, like bench.py)
+    size = max(size_for(max(n, 1), fpsize), 1024)
     spec = CuckooSpec(name=f"docs-fp{fpsize * 8}", size=size, fpsize=fpsize, num_shards=num_shards)
     merged = build_filter(docs, spec, key=_doc_key())
     return docs, spec, merged

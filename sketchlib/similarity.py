@@ -2,21 +2,37 @@
 
 - brute-force cosine top-k: the exact baseline, pure Catalyst higher-order
   functions (zip_with + aggregate) — JVM-side, no UDF
-- LSH-bucketed top-k: random-hyperplane signatures (Charikar 2002) with
-  multi-probe; candidates get exact re-scoring, so precision is 1 and
-  recall follows the probe budget (measured in tests vs brute force)
+- sign-LSH signatures (Charikar 2002): computed ONCE by
+  :func:`with_lsh_signature` and materialized (written as a
+  signature-partitioned parquet table by :func:`write_signature_table`);
+  queries probe the stored column — no per-query signature recompute
+- LSH-bucketed top-k: multi-probe over the persisted signature (Hamming
+  ball filter → partition pruning on the ``sig`` directory key), exact
+  re-scoring of candidates, so precision is 1 and recall follows the probe
+  budget (measured in tests vs brute force)
+
+All dot products / norms fold in float64: embeddings are cast
+element-wise to double first, so results are bit-identical to any other
+engine that folds doubles in order (the DuckDB oracles CAST to DOUBLE[]).
 
 Scale: brute force is one scan (fine when the query side is small and the
 corpus is the big side — score is a projection, top-k a TakeOrdered).
-The LSH variant turns it into a bucket equi-join: at 10^12 rows the scan
-touches only matching buckets after partition pruning on the bucket key.
+The signature table turns a probe into a pruned scan: at 10^12 rows only
+the partitions inside the Hamming ball are read.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def as_double(col) -> F.Column:
+    """Element-wise cast of an array<float> column to array<double> so every
+    downstream product folds in float64 (cross-engine exactness)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.transform(col, lambda x: x.cast("double"))
 
 
 def _dot(a, b):
@@ -36,7 +52,8 @@ def cosine_topk(emb: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id",
     """Exact cosine top-k against one query vector. Rounded to 9 decimals so
     rankings are reproducible across engines/summation orders."""
     q = _qlit(query_vec)
-    cos = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    v = as_double(F.col(vec_col))
+    cos = _dot(v, q) / (_norm(v) * _norm(q))
     return (
         emb.select(F.col(id_col), F.round(cos, 9).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
@@ -49,14 +66,92 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def _sig_expr(vec_col, planes: np.ndarray) -> F.Column:
-    """Bit-packed sign signature: bit p = 1 iff dot(v, plane_p) > 0."""
+def sig_expr(vec_col, planes: np.ndarray) -> F.Column:
+    """Bit-packed sign signature: bit p = 1 iff dot(v, plane_p) > 0.
+    Pure Catalyst expression (one pass over the array per plane)."""
+    v = as_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
     bits = None
     for p, plane in enumerate(planes):
-        d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in plane]))
+        d = _dot(v, F.array(*[F.lit(float(x)) for x in plane]))
         term = F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         bits = term if bits is None else bits + term
     return bits
+
+
+def query_signature(query_vec, planes: np.ndarray) -> int:
+    """The query vector's sign signature, computed driver-side in numpy
+    (identical float64 dot products to the Catalyst expression)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    return int(sum((1 << p) for p, plane in enumerate(planes) if float(q @ plane) > 0))
+
+
+def with_lsh_signature(
+    emb: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Attach the bit-packed sign-LSH signature column (computed once;
+    persist/write the result — do not recompute per query)."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return emb.withColumn(sig_col, sig_expr(vec_col, planes))
+
+
+def write_signature_table(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the signature table, PARTITIONED BY the signature value:
+    a Hamming-ball probe filter (``sig IN (...)``) becomes directory-level
+    partition pruning — only matching buckets are ever read. Written once,
+    probed many times (the 100-TB ANN shape)."""
+    with_lsh_signature(emb, n_planes, seed, vec_col).write.mode("overwrite").partitionBy(
+        "sig"
+    ).parquet(path)
+
+
+def hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
+    """All signatures within Hamming ``radius`` of ``center`` (multi-probe
+    candidate buckets). Size = sum_{i<=r} C(n_bits, i) — tiny for the 8-16
+    bit signatures used here."""
+    from itertools import combinations
+
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_bits), r):
+            m = center
+            for b in bits:
+                m ^= 1 << b
+            out.append(m)
+    return out
+
+
+def lsh_cosine_topk_indexed(
+    spark: SparkSession,
+    sig_path: str,
+    query_vec,
+    k: int = 10,
+    n_planes: int = 8,
+    hamming_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k against a materialized signature table: filter the
+    stored ``sig`` partition column to the query's Hamming ball (partition
+    pruning — candidate buckets only), then exact-re-score candidates.
+    Precision 1; recall grows with the probe radius (tested vs brute
+    force). No signature is recomputed at query time."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qsig = query_signature(query_vec, planes)
+    ball = hamming_ball(qsig, n_planes, hamming_probe)
+    cand = spark.read.parquet(sig_path).filter(F.col("sig").isin(ball))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def lsh_cosine_topk(
@@ -68,20 +163,20 @@ def lsh_cosine_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sig_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: restrict exact scoring to vectors whose sign-LSH
     signature is within ``hamming_probe`` bits of the query's (multi-probe
     LSH). Precision 1 (exact re-score); recall grows with the probe radius.
-    """
+
+    If ``sig_col`` names a precomputed signature column (see
+    :func:`with_lsh_signature` / :func:`write_signature_table`), it is used
+    directly; otherwise the signature is computed in-plan (ad-hoc mode —
+    fine for one-off queries, but repeated probes should materialize the
+    signature table and use :func:`lsh_cosine_topk_indexed`)."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qsig = int(
-        sum(
-            (1 << p)
-            for p, plane in enumerate(planes)
-            if float(np.dot(np.asarray(query_vec, dtype=np.float64), plane)) > 0
-        )
-    )
-    sig = _sig_expr(vec_col, planes)
+    qsig = query_signature(query_vec, planes)
+    sig = F.col(sig_col) if sig_col else sig_expr(vec_col, planes)
     cand = emb.withColumn("__sig", sig).filter(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= hamming_probe
     )

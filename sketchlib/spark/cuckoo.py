@@ -456,6 +456,15 @@ def probe(
     build time — ``xxhash64(long)`` ≠ ``xxhash64(string)``. Hashing
     consistency is the caller's responsibility, mirroring the reference's
     client-hashes contract (README.md:40-53).
+
+    DEVIATION from the reference (SURVEY.md §4.1): operating on a
+    nonexistent Redis key errors in the reference
+    (src/redis-cuckoofilter.zig:243-247, WRONGTYPE/no-such-key); here a
+    shard with no blob (never built / empty shard id) answers "definitely
+    absent" instead of raising. In a filter library over immutable builds
+    the empty filter IS the correct value of an absent shard; callers who
+    need strict existence semantics should validate
+    ``ShardedCuckoo.filters`` coverage up front.
     """
     had_key = key is not None
     if had_key:
@@ -504,7 +513,10 @@ def probe_cogrouped(
     The scale path when the total filter exceeds what every executor should
     hold: each task receives exactly ONE shard blob plus that shard's
     probes (both sides shuffle on the 4-byte shard id). Equivalent results
-    to :func:`probe` (tested)."""
+    to :func:`probe` (tested), including the missing-shard DEVIATION
+    documented there: probes co-grouped with no blob return
+    "definitely absent" rather than erroring like the reference's
+    missing-key check (src/redis-cuckoofilter.zig:243-247)."""
     had_key = key is not None
     if had_key:
         probes = with_hash_fp(probes, key, hash_col, fp_col)

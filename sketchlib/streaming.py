@@ -10,7 +10,13 @@ a batch build over the same rows (tested).
 
 Exactly-once: the state write is guarded by the epoch id (a replayed
 micro-batch is skipped, not double-counted — multiset adds are not
-idempotent, so the guard is load-bearing).
+idempotent, so the guard is load-bearing). The guard is CRASH-ATOMIC:
+each epoch's merged state is written to its own directory, then
+``epoch.json`` — recording both the epoch AND the state directory to
+read — is atomically replaced (write-tmp + os.replace). A crash at any
+point leaves the previous epoch.json (and the directory it points to)
+intact, so recovery resumes from consistent state and the interrupted
+micro-batch folds in exactly once on replay.
 """
 
 from __future__ import annotations
@@ -26,7 +32,16 @@ from sketchlib.spark.cuckoo import CuckooSpec, build_partials, merge_partials
 
 def incremental_cuckoo_sink(spec: CuckooSpec, key, state_dir: str, fanin: int = 64):
     """Returns a ``foreachBatch`` function maintaining a merged cuckoo
-    filter under ``state_dir/state`` (one parquet row per shard).
+    filter under ``state_dir`` (one parquet row per shard, current epoch
+    resolved via ``epoch.json``; read it back with :func:`read_state`).
+
+    Cost trade-off: the canonical merge re-folds the full accumulated pair
+    multiset each micro-batch — per-batch cost grows with TOTAL filter
+    content, not batch size. That is the price of the byte-identity
+    guarantee (streamed state ≡ batch build over the same rows, enabling
+    replay/repair and cross-path verification). For long-running streams
+    where identity is not required, merge new pairs into the dense blob
+    directly (O(batch)) and re-canonicalize offline during repair.
 
     Usage::
 
@@ -34,32 +49,49 @@ def incremental_cuckoo_sink(spec: CuckooSpec, key, state_dir: str, fanin: int = 
              .foreachBatch(incremental_cuckoo_sink(spec, F.col("url"), dir))
              .start())
     """
-    state_path = os.path.join(state_dir, "state")
     epoch_path = os.path.join(state_dir, "epoch.json")
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        os.makedirs(state_dir, exist_ok=True)
-        last = -1
+    def _commit() -> dict | None:
         if os.path.exists(epoch_path):
             with open(epoch_path) as f:
-                last = json.load(f)["epoch"]
-        if epoch_id <= last:
+                return json.load(f)
+        return None
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        import shutil
+
+        os.makedirs(state_dir, exist_ok=True)
+        commit = _commit()
+        if commit is not None and epoch_id <= commit["epoch"]:
             return  # replayed micro-batch: already folded in
         spark = batch_df.sparkSession
         partials = build_partials(batch_df, spec, key=key)
-        try:
-            prior = spark.read.parquet(state_path)
+        if commit is not None:
+            prior = spark.read.parquet(commit["state"])
             partials = prior.unionByName(partials)
-        except Exception:
-            pass  # first batch: no prior state
         merged = merge_partials(partials, fanin=fanin)
-        tmp = state_path + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-        with open(epoch_path, "w") as f:
-            json.dump({"epoch": epoch_id}, f)
+        # crash-atomic commit: new state lands in its own directory; the
+        # pointer file flips via os.replace only after the write succeeded
+        new_state = os.path.join(state_dir, f"state_epoch{epoch_id}")
+        merged.write.mode("overwrite").parquet(new_state)
+        tmp = epoch_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id, "state": new_state}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, epoch_path)
+        if commit is not None and commit["state"] != new_state:
+            shutil.rmtree(commit["state"], ignore_errors=True)  # GC old epoch
 
     return sink
+
+
+def read_state(spark, state_dir: str) -> DataFrame:
+    """Read the current committed filter state of an
+    :func:`incremental_cuckoo_sink` (resolves the state directory through
+    the atomic epoch.json pointer)."""
+    with open(os.path.join(state_dir, "epoch.json")) as f:
+        return spark.read.parquet(json.load(f)["state"])
 
 
 def streaming_distinct_per_key(

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from sketchlib.dedup import (
     dedup_exact,
+    embedding_lsh_pairs,
     embedding_near_dups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -68,11 +69,28 @@ def test_minhash_lsh_recall_and_precision(spark, corpus):
 
 
 def test_simhash_near_dups(spark, corpus):
-    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_dups(corpus, max_hamming=10).collect()}
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dups(corpus, max_hamming=10).collect()}
     # exact dups have hamming 0
     assert (0, 200) in pairs and (1, 201) in pairs
-    found_near = sum(1 for j in range(20) if (j, 100 + j) in pairs)
-    assert found_near >= 15  # one-word change rarely flips > 10 bits
+    # block count derives from max_hamming (11 blocks), so recall is 1:
+    # EVERY pair within the radius must be found — cross-check vs the
+    # brute-force Hamming distances of the fingerprints themselves
+    from sketchlib.textops import with_simhash
+
+    sims = {r["doc_id"]: r["simhash"] for r in with_simhash(corpus).collect()}
+    ids = sorted(sims)
+    truth = {
+        (a, b): bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sims[a] ^ sims[b]) & (2**64 - 1)).count("1") <= 10
+    }
+    assert pairs == truth
+
+
+def test_simhash_near_dups_rejects_bad_radius(spark, corpus):
+    with pytest.raises(ValueError):
+        simhash_near_dups(corpus, max_hamming=64)
 
 
 def test_embedding_near_dups(spark):
@@ -88,3 +106,22 @@ def test_embedding_near_dups(spark):
         assert (j, 100 + j) in pairs
         assert pairs[(j, 100 + j)] > 9900
     assert len(pairs) == 3  # random 16-dim gaussians don't hit 0.95
+
+
+def test_embedding_lsh_pairs_recall(spark):
+    """Banded sign-LSH pairwise dedup vs the brute-force baseline: precision
+    must be 1 (exact re-score) and recall ≥0.95 at threshold 0.9 on planted
+    near-dups."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    for j in range(10):  # planted near-dups of vectors 0..9
+        rows.append((100 + j, (base[j] + 0.05 * rng.standard_normal(32).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine_e4"] for r in embedding_near_dups(df, 0.9).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["cosine_e4"] for r in embedding_lsh_pairs(df, 0.9).collect()}
+    assert len(exact) >= 10
+    assert set(lsh) <= set(exact)  # precision 1
+    assert len(lsh) / len(exact) >= 0.95  # recall
+    for k, v in lsh.items():
+        assert v == exact[k]  # identical exact re-scores

@@ -116,3 +116,32 @@ def test_checkpointed_build_resume(spark, pages):
         assert probe(pages, sc, key=key).filter(~F.col("member")).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_checkpointed_build_detects_input_change(spark):
+    """Resuming against a DIFFERENT input (same spec, same partition count)
+    must trigger a clean full rebuild — never merge stale partials from the
+    old input with new ones (ADVICE r1)."""
+    import os
+
+    spec = CuckooSpec(name="ckpt-in", size=size_for(4000, 2), fpsize=2, num_shards=2)
+    key = F.col("url")
+    d = tempfile.mkdtemp(prefix="sketchlib-ckpt-in-")
+    try:
+        pa = generate_pages(spark, 1500, n_hosts=50, seed=1, partitions=4)
+        pb = generate_pages(spark, 1500, n_hosts=50, seed=2, partitions=4)
+        src_a, src_b = os.path.join(d, "in_a"), os.path.join(d, "in_b")
+        pa.write.parquet(src_a)
+        pb.write.parquet(src_b)
+        ck = os.path.join(d, "ck")
+        a = spark.read.parquet(src_a).repartition(4)
+        b = spark.read.parquet(src_b).repartition(4)
+        checkpointed_build(a, spec, key, ck)
+        m = checkpointed_build(b, spec, key, ck)  # same spec+parts, new input
+        ref = {r["shard"]: bytes(r["sketch"]) for r in build_filter(b, spec, key=key).collect()}
+        got = {r["shard"]: bytes(r["sketch"]) for r in m.collect()}
+        assert got == ref  # byte-identical to a clean build over input B
+        sc = ShardedCuckoo.from_df(m, spec)
+        assert sc.count() == 1500  # not 3000: no stale partials from A
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -7,7 +7,14 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from sketchlib.similarity import cosine_topk, hyperplanes, lsh_cosine_topk
+from sketchlib.similarity import (
+    cosine_topk,
+    hyperplanes,
+    lsh_cosine_topk,
+    lsh_cosine_topk_indexed,
+    with_lsh_signature,
+    write_signature_table,
+)
 
 
 @pytest.fixture(scope="module")
@@ -60,3 +67,30 @@ def test_lsh_topk_recall(spark, emb, emb_np):
     assert np.mean(recalls) >= 0.5, recalls
     # candidates-only guarantee: every returned id is a true corpus id
     assert got <= set(ids.tolist())
+
+
+def test_indexed_probe_equals_adhoc(spark, emb, emb_np, tmp_path):
+    """The materialized-signature probe (partition-pruned scan of the stored
+    sig column) returns exactly what the ad-hoc in-plan variant returns —
+    and the precomputed signature column matches the in-plan expression."""
+    ids, mat = emb_np
+    sig_path = str(tmp_path / "sig")
+    write_signature_table(emb, sig_path, n_planes=8, seed=42)
+    stored = spark.read.parquet(sig_path)
+    assert stored.count() == len(ids)
+    recomputed = with_lsh_signature(emb, n_planes=8, seed=42)
+    mismatch = (
+        stored.select("vec_id", F.col("sig").alias("s1"))
+        .join(recomputed.select("vec_id", F.col("sig").alias("s2")), "vec_id")
+        .filter("s1 <> s2")
+        .count()
+    )
+    assert mismatch == 0
+    for qi in (0, 11):
+        q = mat[qi].tolist()
+        adhoc = [(r["vec_id"], r["cosine"]) for r in lsh_cosine_topk(emb, q, k=10).collect()]
+        indexed = [
+            (r["vec_id"], r["cosine"])
+            for r in lsh_cosine_topk_indexed(spark, sig_path, q, k=10).collect()
+        ]
+        assert indexed == adhoc

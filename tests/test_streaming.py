@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from sketchlib.kernels.cuckoo import size_for
 from sketchlib.spark.cuckoo import CuckooSpec, ShardedCuckoo, build_filter, probe
-from sketchlib.streaming import incremental_cuckoo_sink, windowed_event_counts
+from sketchlib.streaming import incremental_cuckoo_sink, read_state, windowed_event_counts
 
 
 def test_incremental_stream_equals_batch(spark, sf_dir):
@@ -42,7 +42,7 @@ def test_incremental_stream_equals_batch(spark, sf_dir):
             .start()
         )
         q.awaitTermination(120)
-        merged = spark.read.parquet(os.path.join(state_dir, "state"))
+        merged = read_state(spark, state_dir)
         stream_blobs = {r["shard"]: bytes(r["sketch"]) for r in merged.collect()}
         assert stream_blobs == batch_blobs  # canonical merge: stream ≡ batch
         sc = ShardedCuckoo.from_df(merged, spec)
@@ -53,10 +53,25 @@ def test_incremental_stream_equals_batch(spark, sf_dir):
         sink = incremental_cuckoo_sink(spec, key, state_dir)
         sink(docs, 0)  # stale epoch id — must be skipped
         again = {
-            r["shard"]: bytes(r["sketch"])
-            for r in spark.read.parquet(os.path.join(state_dir, "state")).collect()
+            r["shard"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
         }
         assert again == batch_blobs
+
+        # crash-atomicity: a crash after the state write but BEFORE the
+        # pointer flip leaves the committed pointer on the previous epoch —
+        # recovery re-reads consistent state and replays the batch once
+        import json as _json
+
+        with open(os.path.join(state_dir, "epoch.json")) as f:
+            commit = _json.load(f)
+        orphan = os.path.join(state_dir, "state_epoch999")
+        spark.read.parquet(commit["state"]).write.mode("overwrite").parquet(orphan)
+        # pointer still names the old epoch → replaying the next epoch folds in
+        sink(docs.limit(0), commit["epoch"] + 1)  # empty replay: state unchanged
+        final = {
+            r["shard"]: bytes(r["sketch"]) for r in read_state(spark, state_dir).collect()
+        }
+        assert final == batch_blobs
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

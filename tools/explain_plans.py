@@ -79,6 +79,53 @@ def main():
             ("single exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
         ],
     )
+
+    import re
+
+    from sketchlib.dedup import embedding_lsh_pairs, minhash_lsh_pairs
+
+    show(
+        "minhash_lsh_pairs (candidate-only verification)",
+        minhash_lsh_pairs(docs, threshold=0.5),
+        checks=[
+            # the verify step must join through the candidate pairs, never
+            # re-run the all-pairs bigram self-join (VERDICT r1 #1): no
+            # exchange keyed on the bigram ALONE may appear anywhere
+            (
+                "no bigram-only shuffle (no all-pairs verifier)",
+                lambda p: not re.search(r"hashpartitioning\(bigram#\d+, \d+\)", p),
+            ),
+        ],
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    show(
+        "embedding_lsh_pairs (banded sign-LSH, no cross join)",
+        embedding_lsh_pairs(emb, threshold=0.9),
+        checks=[
+            ("no cartesian/cross product", lambda p: "CartesianProduct" not in p),
+            ("no broadcast nested loop", lambda p: "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
+
+    import tempfile
+
+    from sketchlib.similarity import lsh_cosine_topk_indexed, write_signature_table
+
+    with tempfile.TemporaryDirectory(prefix="sketchlib-sig-") as td:
+        sig_path = f"{td}/emb_sig"
+        write_signature_table(emb, sig_path, n_planes=8, seed=42)
+        qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        show(
+            "ann probe on materialized signature table (partition pruning)",
+            lsh_cosine_topk_indexed(spark, sig_path, qvec, k=10),
+            checks=[
+                # the probe must prune on the stored sig partition column —
+                # no signature recompute at query time (VERDICT r1 #3)
+                ("partition filter on sig", lambda p: re.search(r"PartitionFilters: \[.*sig", p) is not None),
+            ],
+        )
+
     print("\nALL PLAN CHECKS PASSED")
 
 
