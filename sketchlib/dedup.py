@@ -259,6 +259,58 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id) with
+    cluster_id = min doc_id of the component. The canonical-survivor stage
+    of a dedup pipeline: keep rows where doc_id == cluster_id, drop the
+    rest (or map every doc to its canonical representative).
+
+    Implementation: iterative min-label propagation — each round every node
+    adopts the minimum label among itself and its neighbors (one join + one
+    min-aggregation per round, lineage cut by localCheckpoint), converging
+    in O(component diameter) rounds. Near-dup components are shallow (dups
+    of a common source), so the loop is short in practice; for adversarial
+    long-chain graphs at 10^12 scale switch to the two-phase
+    small-star/large-star algorithm (Kiveris et al. 2014), which this
+    per-round shape extends to directly. Raises if ``max_iters`` rounds do
+    not converge rather than returning a partially-propagated labeling.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("src", "id")
+        )
+        new = labels.join(nbr, "id", "left").select(
+            "id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl")
+        )
+        new = new.localCheckpoint(eager=True)  # cut per-round lineage
+        changed = (
+            new.join(labels.withColumnRenamed("lbl", "old"), "id")
+            .filter("lbl <> old")
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
 def embedding_lsh_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -125,8 +125,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
-_JACCARD_ORACLE = r"""
-WITH toks AS (
+_JACCARD_CTES = r"""toks AS (
   SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ')), ' ') AS w
   FROM documents),
 bg AS (
@@ -136,12 +135,14 @@ bg AS (
 sz AS (SELECT doc_id, COUNT(*) AS s FROM bg GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-  FROM bg a JOIN bg b USING (bigram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       CAST(FLOOR(i * 1.0 / (sa.s + sb.s - i) * 1000000) AS BIGINT) AS jaccard_e6
-FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5
-"""
+  FROM bg a JOIN bg b USING (bigram) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+jp AS (
+  SELECT doc_a, doc_b,
+         CAST(FLOOR(i * 1.0 / (sa.s + sb.s - i) * 1000000) AS BIGINT) AS jaccard_e6
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.5)"""
+
+_JACCARD_ORACLE = f"WITH {_JACCARD_CTES} SELECT doc_a, doc_b, jaccard_e6 FROM jp"
 
 
 @register("dedup_ngram_jaccard", _JACCARD_ORACLE)
@@ -190,6 +191,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# connected components over the near-dup pairs: the oracle computes the
+# same min-label components with a recursive CTE over the SAME exact-
+# Jaccard pair CTEs — full algorithm parity for the survivor-selection stage
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+walk(id, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n(a)
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.id = e.b)
+SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+@register("dedup_clusters", _CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection: connected components over the exact
+    bigram-Jaccard pairs (t=0.5) by iterative min-label propagation;
+    cluster_id = the canonical (minimum) doc_id of each component. Oracle =
+    a recursive-CTE reachability closure over the identical pair set."""
+    from sketchlib.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    return near_dup_clusters(ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5))
 
 
 _EMB_DIM = 64  # embeddings.parquet dimension at every sf (TESTDATA.md)

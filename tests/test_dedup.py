@@ -108,6 +108,31 @@ def test_embedding_near_dups(spark):
     assert len(pairs) == 3  # random 16-dim gaussians don't hit 0.95
 
 
+def test_near_dup_clusters_known_graph(spark):
+    """Min-label components on a known graph: a 4-chain (propagation needs
+    multiple rounds), a triangle, an isolated pair."""
+    from sketchlib.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22), (20, 22), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_clusters_on_corpus(spark, corpus):
+    """End-to-end survivor selection over the controlled corpus: every
+    near-dup pair lands in one cluster keyed by its minimum doc_id."""
+    from sketchlib.dedup import near_dup_clusters
+
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.5)
+    clusters = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    for j in range(20):  # near-dup of doc j is 100+j
+        assert clusters[100 + j] == j
+    assert clusters[200] == 0 and clusters[201] == 1
+
+
 def test_embedding_lsh_pairs_recall(spark):
     """Banded sign-LSH pairwise dedup vs the brute-force baseline: precision
     must be 1 (exact re-score) and recall ≥0.95 at threshold 0.9 on planted

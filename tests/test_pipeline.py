@@ -75,6 +75,35 @@ def test_heavy_keys_approx_matches_exact(spark, pages):
     assert len(approx) <= len(exact) + 5  # CMS slack only
 
 
+def test_heavy_keys_approx_survives_batch_local_camouflage(spark):
+    """Regression (ADVICE r1): a key that is heavy ACROSS the partition but
+    never in any single Arrow batch's local top must still be found — the
+    per-partition Misra-Gries accumulates across batches, unlike the old
+    per-batch top-k candidate harvest."""
+    import pandas as pd
+
+    from sketchlib.pipeline import heavy_keys_approx
+
+    rows = []
+    for b in range(10):  # 10 batches of 1000 rows (maxRecordsPerBatch below)
+        rows += [("X",)] * 20  # the camouflaged heavy key: 20/batch
+        for i in range(140):  # per-batch UNIQUE fillers, each heavier locally
+            rows += [(f"f{b}_{i}",)] * 7
+    pdf = pd.DataFrame(rows, columns=["k"])
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        df = spark.createDataFrame(pdf).coalesce(1)
+        # X: 200/10000 = 2%; fillers: 7 each (never heavy); in every batch X
+        # ranks ~141st by local count, below any per-batch top-64 harvest
+        heavy = heavy_keys_approx(df, "k", top_fraction=0.01, candidates_per_partition=64)
+        # X (200 = 2% ≥ 1%) must be found; no 7-count filler can pass the
+        # CMS threshold of 100 even with ε·N overestimate slack
+        assert heavy == ["X"]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
 def test_checkpointed_build_resume(spark, pages):
     spec = CuckooSpec(name="ckpt", size=size_for(8000, 2), fpsize=2, num_shards=2)
     key = F.col("url")
