@@ -643,6 +643,37 @@ class CuckooFilter:
         out.broken = broken
         return out
 
+    def merge_into(self, parts: list, on_toofull: str = "raise") -> None:
+        """NON-canonical in-place union: fold ``parts`` (dense filters,
+        dense blobs, or packed pair blobs) into THIS filter — O(new items),
+        no re-build of existing content.
+
+        Trade-off vs :meth:`merge`: membership, fpcount, and deletion
+        semantics are identical (the stored fp multiset is the same), but
+        the byte layout depends on arrival order, so blobs are NOT
+        comparable across paths. Use for long-running incremental sinks
+        where per-batch cost must stay O(batch); re-canonicalize offline
+        (``CuckooFilter.merge([self])``) when byte-identity is needed for
+        replay/repair comparisons. Pairs within each part fold in
+        canonical-sorted order so the fast path itself is deterministic
+        for a fixed batch sequence."""
+        for p in parts:
+            if not isinstance(p, CuckooFilter) and is_pairs_blob(bytes(p)):
+                size, fpsize, b, fp = unpack_pairs(bytes(p))
+                broken = False
+            else:
+                f = p if isinstance(p, CuckooFilter) else CuckooFilter.from_bytes(bytes(p))
+                size, fpsize = f.nbytes, f.fpsize
+                b, fp = f.extract_pairs(canonical=True)
+                broken = f.broken
+            if (size, fpsize) != (self.nbytes, self.fpsize):
+                raise ValueError("merge_into requires equal (size, fpsize)")
+            b = np.asarray(b, dtype=np.uint64)
+            fp = np.asarray(fp, dtype=DTYPE[fpsize])
+            order = np.lexsort((fp, b))
+            self.add_batch(b[order], fp[order], on_toofull=on_toofull)
+            self.broken = self.broken or broken
+
     @classmethod
     def concat_pair_blobs(cls, parts: list) -> bytes:
         """Intermediate tree-merge stage for sparse partials: concatenate

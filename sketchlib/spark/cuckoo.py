@@ -295,6 +295,51 @@ def build_filter(df: DataFrame, spec: CuckooSpec, key=None, **kw) -> DataFrame:
     return merge_partials(build_partials(df, spec, key=key, **kw), fanin=fanin)
 
 
+def fold_partials_into(prior: DataFrame, partials: DataFrame, spec: CuckooSpec) -> DataFrame:
+    """NON-canonical incremental fold: merge this batch's partials into an
+    existing merged state in O(new items) — the existing dense blobs are
+    NOT re-built (unlike :func:`merge_partials`, whose canonical re-insert
+    costs O(total filter content) per call).
+
+    Same fp multiset → identical membership/count/remove semantics; byte
+    layout depends on fold order, so blobs are not comparable to the
+    canonical path (see ``CuckooFilter.merge_into``). ``prior`` may be
+    empty (first batch folds into a fresh filter seeded exactly like the
+    canonical merge)."""
+    import pandas as pd
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        name, shard = key[0], int(key[1])
+        pr = pdf[pdf["_prior"]]
+        rest = pdf[~pdf["_prior"]].sort_values("part_id")
+        if len(pr):
+            flt = CuckooFilter.from_bytes(bytes(pr["sketch"].iloc[0]))
+        else:
+            flt = CuckooFilter.create(
+                spec.size, spec.fpsize, seed=stable_seed("merge", name, shard)
+            )
+        expected = flt.fpcount + int(rest["fpcount"].sum())
+        flt.merge_into([bytes(b) for b in rest["sketch"]], on_toofull="count")
+        return pd.DataFrame(
+            {
+                "name": [name],
+                "shard": [shard],
+                "part_id": [-1],
+                "sketch": [flt.to_bytes()],
+                "fpcount": [flt.fpcount],
+                "toofull": [flt.is_toofull()],
+                "broken": [flt.is_broken()],
+                "rows": [int(pdf["rows"].sum())],
+                "dropped": [int(pdf["dropped"].sum()) + (expected - flt.fpcount)],
+            }
+        )
+
+    tagged = prior.withColumn("_prior", F.lit(True)).unionByName(
+        partials.withColumn("_prior", F.lit(False))
+    )
+    return tagged.groupBy("name", "shard").applyInPandas(fold, PARTIAL_SCHEMA)
+
+
 def build_filter_direct(
     df: DataFrame,
     spec: CuckooSpec,

@@ -27,21 +27,33 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sketchlib.spark.cuckoo import CuckooSpec, build_partials, merge_partials
+from sketchlib.spark.cuckoo import (
+    CuckooSpec,
+    build_partials,
+    fold_partials_into,
+    merge_partials,
+)
 
 
-def incremental_cuckoo_sink(spec: CuckooSpec, key, state_dir: str, fanin: int = 64):
+def incremental_cuckoo_sink(
+    spec: CuckooSpec, key, state_dir: str, fanin: int = 64, mode: str = "canonical"
+):
     """Returns a ``foreachBatch`` function maintaining a merged cuckoo
     filter under ``state_dir`` (one parquet row per shard, current epoch
     resolved via ``epoch.json``; read it back with :func:`read_state`).
 
-    Cost trade-off: the canonical merge re-folds the full accumulated pair
-    multiset each micro-batch — per-batch cost grows with TOTAL filter
-    content, not batch size. That is the price of the byte-identity
-    guarantee (streamed state ≡ batch build over the same rows, enabling
-    replay/repair and cross-path verification). For long-running streams
-    where identity is not required, merge new pairs into the dense blob
-    directly (O(batch)) and re-canonicalize offline during repair.
+    Cost trade-off, selected by ``mode``:
+
+    - ``"canonical"`` (default): re-fold the full accumulated pair multiset
+      each micro-batch — per-batch cost grows with TOTAL filter content,
+      but the state is BYTE-IDENTICAL to a batch build over the same rows
+      (replay/repair and cross-path verification by blob comparison).
+    - ``"fast"``: fold only the new batch's pairs into the existing dense
+      blobs (``fold_partials_into``) — per-batch cost is O(batch). Same fp
+      multiset, so membership/count/remove semantics stay EXACTLY equal to
+      the canonical path (tested); only the byte layout diverges.
+      Re-canonicalize offline (``merge_partials`` over the state) when a
+      byte-comparable blob is needed.
 
     Usage::
 
@@ -66,10 +78,17 @@ def incremental_cuckoo_sink(spec: CuckooSpec, key, state_dir: str, fanin: int = 
             return  # replayed micro-batch: already folded in
         spark = batch_df.sparkSession
         partials = build_partials(batch_df, spec, key=key)
-        if commit is not None:
-            prior = spark.read.parquet(commit["state"])
-            partials = prior.unionByName(partials)
-        merged = merge_partials(partials, fanin=fanin)
+        if mode == "fast":
+            if commit is not None:
+                prior = spark.read.parquet(commit["state"])
+            else:
+                prior = spark.createDataFrame([], partials.schema)
+            merged = fold_partials_into(prior, partials, spec)
+        else:
+            if commit is not None:
+                prior = spark.read.parquet(commit["state"])
+                partials = prior.unionByName(partials)
+            merged = merge_partials(partials, fanin=fanin)
         # crash-atomic commit: new state lands in its own directory; the
         # pointer file flips via os.replace only after the write succeeded
         new_state = os.path.join(state_dir, f"state_epoch{epoch_id}")

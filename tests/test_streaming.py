@@ -76,6 +76,42 @@ def test_incremental_stream_equals_batch(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_fast_sink_semantics_equal_canonical(spark, sf_dir):
+    """mode='fast' folds each batch in O(batch) — the fp multiset (and so
+    membership, count, removability) must stay EXACTLY equal to the
+    canonical path; only byte layout may differ."""
+    from sketchlib.kernels.cuckoo import CuckooFilter
+    from sketchlib.streaming import read_state
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = CuckooSpec(name="faststream", size=size_for(2000, 2), fpsize=2, num_shards=2)
+    key = F.col("doc_id").cast("string")
+    work = tempfile.mkdtemp(prefix="sketchlib-fast-")
+    try:
+        sink_c = incremental_cuckoo_sink(spec, key, os.path.join(work, "c"))
+        sink_f = incremental_cuckoo_sink(spec, key, os.path.join(work, "f"), mode="fast")
+        for e in range(4):
+            batch = docs.filter(F.pmod("doc_id", F.lit(4)) == e)
+            sink_c(batch, e)
+            sink_f(batch, e)
+        canon = {r["shard"]: r for r in read_state(spark, os.path.join(work, "c")).collect()}
+        fast = {r["shard"]: r for r in read_state(spark, os.path.join(work, "f")).collect()}
+        assert set(canon) == set(fast)
+        for s in canon:
+            assert fast[s]["fpcount"] == canon[s]["fpcount"]
+            # identical stored fp multiset ⇒ identical canonical pairs
+            fc = CuckooFilter.from_bytes(bytes(canon[s]["sketch"]))
+            ff = CuckooFilter.from_bytes(bytes(fast[s]["sketch"]))
+            pc = sorted(zip(*[a.tolist() for a in fc.extract_pairs(canonical=True)]))
+            pf = sorted(zip(*[a.tolist() for a in ff.extract_pairs(canonical=True)]))
+            assert pc == pf
+        sc = ShardedCuckoo.from_df(read_state(spark, os.path.join(work, "f")), spec)
+        assert sc.count() == docs.count()
+        assert probe(docs.select("doc_id"), sc, key=key).filter(~F.col("member")).count() == 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_streaming_distinct_per_key_stateful(spark, sf_dir):
     """applyInPandasWithState: running per-key HLL across micro-batches;
     the final update-mode estimate must match the exact batch distinct
