@@ -399,6 +399,114 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk_indexed(spark, sig_path, qvec, k=10).select("vec_id")
 
 
+# ----------------------------------------------- relational extensions
+
+_ASOF_ORACLE = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
+       p.event_id AS purchase_event_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_ts_us
+FROM clicks c ASOF JOIN purch p ON c.user_id = p.user_id AND c.ts > p.ts
+"""
+
+
+@register("asof_click_attribution", _ASOF_ORACLE)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (funnel attribution): each click gets the user's most
+    recent STRICTLY-prior purchase. Spark side is the union-window as-of
+    (one shuffle on the key, running last() carries values forward);
+    oracle is DuckDB's native ASOF JOIN — two independent implementations
+    of the operator."""
+    from sketchlib.relops import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("timestamp").alias("pts"),
+                F.col("event_id").alias("purchase_event_id"))
+    )
+    out = asof_join(clicks, purch, key="user_id", left_ts="ts", right_ts="pts",
+                    right_cols=["purchase_event_id", "pts"], strict=True)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        "purchase_event_id",
+        F.unix_micros("pts").alias("purchase_ts_us"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH x AS (
+  SELECT user_id, ts,
+         -- strict >: Spark's session_window MERGES an event arriving at
+         -- exactly last+gap (verified in tests/test_relops.py), so only a
+         -- strictly larger gap breaks the session
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("user_sessions", _SESSION_ORACLE)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap) via the built-in
+    session_window aggregation — the identical definition Structured
+    Streaming uses. Oracle: an independent window-lag + running-sum session
+    reconstruction in DuckDB."""
+    from sketchlib.relops import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
+
+
+@register(
+    "doc_sample_deterministic",
+    "SELECT doc_id, source FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '28'",
+)
+def doc_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic held-out split: md5-threshold sampling — the SAME rows
+    are selected by any engine, any partitioning, any run (≈15.6% at
+    threshold 0x28). The predicate is a plain pushed-down filter."""
+    from sketchlib.relops import sample_by_hash
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
+
+
+_VOCAB_ORACLE = r"""
+WITH toks AS (
+  SELECT UNNEST(string_split(trim(regexp_replace(lower(text), '\s+', ' ')), ' ')) AS token
+  FROM documents)
+SELECT token, COUNT(*) AS n FROM toks WHERE length(token) > 0
+GROUP BY token ORDER BY n DESC, token LIMIT 100
+"""
+
+
+@register("vocab_top100", _VOCAB_ORACLE)
+def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-100 tokens by corpus frequency (map-side
+    partial counts, one shuffle, TakeOrdered top-k)."""
+    from sketchlib.textops import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 # --------------------------------------------------------- multimodal
 
 

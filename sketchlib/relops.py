@@ -1,0 +1,113 @@
+"""Relational extensions the reference ecosystem lacks but a training-data
+pipeline needs: as-of (most-recent-prior) joins, gap-based sessionization,
+and deterministic hash sampling. All pure Catalyst built-ins — no UDFs, no
+driver-side loops — each with an independent DuckDB-SQL oracle in
+queries_data.py (ASOF JOIN / window-lag sessions / md5-threshold sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the right row with the
+    greatest ``right_ts`` < ``left_ts`` (``<=`` when ``strict=False``) for
+    the same key. Rows with no prior match are dropped (inner semantics,
+    matching DuckDB's ASOF JOIN).
+
+    Distributed shape: union both inputs, ONE shuffle on (key), and a
+    running ``last(..., ignorenulls)`` window carries the latest right
+    values forward in time — never a per-row range probe, never a
+    broadcast of the right side. At 10^12 rows both sides shuffle once on
+    the key, exactly like a co-partitioned merge join; skewed keys take
+    the same salting treatment as any keyed aggregation.
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate if not
+    (ambiguous ties have no canonical winner in any engine).
+    """
+    lcols = left.columns
+    # src orders right rows AFTER a left row at equal timestamps when
+    # strict (so an exact-tie right row is outside the left row's frame)
+    # and BEFORE it otherwise
+    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
+        "__src", F.lit(0 if strict else 1)
+    )
+    for c in right_cols:
+        l = l.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1 if strict else 0).alias("__src"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    for c in lcols:
+        if c != key:
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.select(key, "__ts", "__src", *[c for c in lcols if c != key], *[f"__r_{c}" for c in right_cols]).unionByName(
+        r.select(key, "__ts", "__src", *[c for c in lcols if c != key], *[f"__r_{c}" for c in right_cols])
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__ts", "__src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        key,
+        "__ts",
+        "__src",
+        *[c for c in lcols if c != key],
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+    )
+    is_left = F.col("__src") == (0 if strict else 1)
+    out = carried.filter(is_left & F.col(f"__r_{right_cols[0]}").isNotNull())
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window`` aggregation
+    (the same operator Structured Streaming uses, so batch and streaming
+    sessions share one definition): events of a key belong to one session
+    while consecutive gaps stay below ``gap``.
+
+    Returns (key, session_start, last_ts, n_events) with timestamps as
+    epoch microseconds (cross-engine hash-stable). One shuffle on the key.
+    """
+    ev = events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    return (
+        ev.groupBy(key, F.session_window("__ts", gap).alias("__w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("__ts").alias("__last"))
+        .select(
+            F.col(key),
+            F.unix_micros(F.col("__w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("__last")).alias("last_ts_us"),
+            "n_events",
+        )
+    )
+
+
+def sample_by_hash(df: DataFrame, key_sql: str, threshold_hex: str) -> DataFrame:
+    """Deterministic, engine-portable sample: keep rows whose ``md5(key)``
+    hex digest sorts below ``threshold_hex`` (e.g. '28' keeps ≈ 0x28/0x100
+    ≈ 15.6%). The SAME predicate evaluates in any engine with md5 — the
+    sample is reproducible across runs, partitionings, and engines, which
+    is what a training-data pipeline needs for held-out splits. Pushed to
+    the scan as a plain filter; no shuffle."""
+    return df.filter(F.expr(f"md5({key_sql}) < '{threshold_hex}'"))

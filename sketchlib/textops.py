@@ -129,6 +129,22 @@ def with_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.selectExpr("doc_id", f"{fingerprint_sql('spark')} AS fingerprint")
 
 
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: top-k tokens of the normalized text by
+    frequency (vocabulary building / stopword discovery for a training
+    pipeline). Explode → count (map-side partial agg) → TakeOrdered; ties
+    broken by token for a deterministic cross-engine ranking."""
+    toks = docs.select(
+        F.explode(F.split(F.expr(norm_text_sql("spark")), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(k)
+    )
+
+
 def with_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash (Charikar 2002) over whitespace tokens, entirely with
     built-in aggregations: explode tokens → per-bit weighted majority vote →

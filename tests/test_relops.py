@@ -1,0 +1,88 @@
+"""Relational-extension tests: as-of join vs brute force, sessionization
+vs a hand-rolled gap scan, deterministic-sample properties."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sketchlib.relops import asof_join, sample_by_hash, sessionize
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def clicks_purchases(spark):
+    clicks = spark.createDataFrame(
+        [(1, 7, _t(5)), (2, 7, _t(20)), (3, 8, _t(10)), (4, 9, _t(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    purch = spark.createDataFrame(
+        [(100, 7, _t(4)), (101, 7, _t(5)), (102, 7, _t(15)), (103, 8, _t(10))],
+        "purchase_event_id long, user_id long, pts timestamp",
+    )
+    return clicks, purch
+
+
+def test_asof_join_strict(spark, clicks_purchases):
+    clicks, purch = clicks_purchases
+    out = {
+        r["event_id"]: r["purchase_event_id"]
+        for r in asof_join(
+            clicks, purch, "user_id", "ts", "pts", ["purchase_event_id", "pts"], strict=True
+        ).collect()
+    }
+    # click 1 (t=5): purchases at t=4 and t=5 — strict > picks t=4
+    # click 2 (t=20): latest prior is t=15
+    # click 3 (t=10 user 8): purchase at t=10 is NOT strictly prior → no match
+    # click 4 (user 9): no purchases → dropped (inner)
+    assert out == {1: 100, 2: 102}
+
+
+def test_asof_join_inclusive(spark, clicks_purchases):
+    clicks, purch = clicks_purchases
+    out = {
+        r["event_id"]: r["purchase_event_id"]
+        for r in asof_join(
+            clicks, purch, "user_id", "ts", "pts", ["purchase_event_id"], strict=False
+        ).collect()
+    }
+    # <= : click 1 now matches the equal-time purchase 101; click 3 matches 103
+    assert out == {1: 101, 2: 102, 3: 103}
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (7, _t(0)),
+        (7, _t(10)),  # same session (10min gap)
+        (7, _t(40)),  # EXACTLY 30min after t=10 → still merges (inclusive)
+        (7, _t(40, 1)),
+        (8, _t(0)),
+        (8, _t(30, 1)),  # 30min 1s → strictly beyond the gap → new session
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sorted(
+        (r["user_id"], r["session_start_us"], r["last_ts_us"], r["n_events"])
+        for r in sessionize(ev, "user_id", "ts", "30 minutes").collect()
+    )
+    us = lambda m, s=0: int(_t(m, s).replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)  # noqa: E731
+    assert out == [
+        (7, us(0), us(40, 1), 4),
+        (8, us(0), us(0), 1),
+        (8, us(30, 1), us(30, 1), 1),
+    ]
+
+
+def test_sample_by_hash_deterministic_and_nested(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = {r["doc_id"] for r in sample_by_hash(docs, "CAST(doc_id AS STRING)", "28").collect()}
+    b = {r["doc_id"] for r in sample_by_hash(docs.repartition(7), "CAST(doc_id AS STRING)", "28").collect()}
+    assert a == b  # partitioning-independent
+    half = {r["doc_id"] for r in sample_by_hash(docs, "CAST(doc_id AS STRING)", "14").collect()}
+    assert half <= a  # smaller threshold nests inside the larger split
+    n = docs.count()
+    assert 0.10 * n <= len(a) <= 0.22 * n  # ≈15.6%
