@@ -77,6 +77,54 @@ def test_sessionize_gap_semantics(spark):
     ]
 
 
+def test_asof_join_differential_vs_pandas(spark):
+    """Randomized differential: our distributed union-window as-of must
+    equal pandas.merge_asof (an independent reference implementation) on
+    both strict and inclusive semantics."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    base = dt.datetime(2024, 1, 1)
+    lpdf = pd.DataFrame(
+        {
+            "event_id": np.arange(300),
+            "user_id": rng.integers(0, 12, 300),
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 5000, 300)],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "purchase_event_id": np.arange(1000, 1120),
+            "user_id": rng.integers(0, 12, 120),
+            "pts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 5000, 120)],
+        }
+    ).drop_duplicates(["user_id", "pts"])
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for strict in (True, False):
+        got = {
+            r["event_id"]: r["purchase_event_id"]
+            for r in asof_join(
+                left, right, "user_id", "ts", "pts", ["purchase_event_id"], strict=strict
+            ).collect()
+        }
+        ref_df = pd.merge_asof(
+            lpdf.sort_values("ts"),
+            rpdf.sort_values("pts"),
+            left_on="ts",
+            right_on="pts",
+            by="user_id",
+            allow_exact_matches=not strict,
+        )
+        ref = {
+            int(r.event_id): int(r.purchase_event_id)
+            for r in ref_df.itertuples()
+            if pd.notna(r.purchase_event_id)
+        }
+        assert got == ref, f"strict={strict}"
+
+
 def test_sample_by_hash_deterministic_and_nested(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     a = {r["doc_id"] for r in sample_by_hash(docs, "CAST(doc_id AS STRING)", "28").collect()}

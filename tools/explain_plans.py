@@ -126,6 +126,47 @@ def main():
             ],
         )
 
+    from sketchlib.relops import asof_join, sample_by_hash
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("pts"), F.col("event_id").alias("pid")
+    )
+    show(
+        "asof_join (union + ONE key shuffle + running window)",
+        asof_join(clicks, purch, "user_id", "ts", "pts", ["pid"]),
+        checks=[
+            # both union branches shuffle once on the key for the window —
+            # no extra exchange, no range probe, no nested loop
+            ("≤2 exchanges (one per union branch)",
+             lambda p: p.count("Exchange hashpartitioning") <= 2),
+            ("all exchanges keyed on user_id",
+             lambda p: all("user_id" in seg[:40] for seg in p.split("Exchange hashpartitioning(")[1:])),
+            ("no cartesian/nested loop", lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ],
+    )
+    show(
+        "deterministic sample (predicate pushed into the scan stage)",
+        sample_by_hash(docs.select("doc_id"), "CAST(doc_id AS STRING)", "28"),
+        checks=[
+            ("no exchange (pure filter)", lambda p: "Exchange" not in p),
+            ("scan prunes to doc_id", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+        ],
+    )
+    from sketchlib.textops import vocab_topk
+
+    show(
+        "vocab top-k (map-side combine + TakeOrdered)",
+        vocab_topk(docs, k=100),
+        checks=[
+            ("map-side partial count", lambda p: "partial_count" in p),
+            ("top-k is TakeOrdered, not global sort", lambda p: "TakeOrderedAndProject" in p),
+        ],
+    )
+
     print("\nALL PLAN CHECKS PASSED")
 
 
