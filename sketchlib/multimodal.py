@@ -83,6 +83,95 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | N
     return df.mapInPandas(run, out_schema)
 
 
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    n_frames: int = 4,
+    frame_len: int = 32,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Video/audio frame sampling batch shape: emit ``n_frames``
+    evenly-spaced fixed-length binary windows per payload (one output row
+    per frame; ``frame_off`` is the deterministic 0-based byte offset
+    ``floor(i·max(n−L,0)/(k−1))``). The slicing is vectorized over the
+    Arrow batch; a real pipeline swaps the byte-window step for an ffmpeg
+    keyframe grab with IDENTICAL schema, batch shape, and offsets."""
+    from pyspark.sql import types as T
+
+    keep = keep if keep is not None else [c for c in df.columns if c != payload_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_off", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    denom = max(n_frames - 1, 1)
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for i in range(n_frames):
+                part = pdf[keep].copy()
+                n = pdf[payload_col].str.len().astype("int64")
+                off = (i * (n - frame_len).clip(lower=0)) // denom
+                part["frame_idx"] = np.int32(i)
+                part["frame_off"] = off
+                part["frame"] = [
+                    bytes(b)[o : o + frame_len] for b, o in zip(pdf[payload_col], off)
+                ]
+                outs.append(part)
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_fit(
+    df: DataFrame,
+    payload_col: str = "payload",
+    max_side: int = 64,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Fit-within resize plumbing: integer aspect-preserving target size
+    (``out = max(1, side·max_side // max(w,h))`` when the larger side
+    exceeds ``max_side``) plus a deterministically decimated payload whose
+    stride is the pixel-count ratio — exact integer arithmetic end to end,
+    so the whole transform has a SQL oracle. A real pipeline replaces the
+    byte decimation with a PIL/cv2 resample behind the same schema."""
+    from pyspark.sql import types as T
+
+    keep = keep if keep is not None else [c for c in df.columns if c not in (payload_col,)]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("resized_n_bytes", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            d = np.maximum(w, h)
+            scale_needed = d > max_side
+            out_w = np.where(scale_needed, np.maximum(1, w * max_side // d), w).astype("int32")
+            out_h = np.where(scale_needed, np.maximum(1, h * max_side // d), h).astype("int32")
+            stride = np.maximum(1, (w * h) // np.maximum(out_w.astype("int64") * out_h, 1))
+            resized = [bytes(b)[:: int(s)] for b, s in zip(pdf[payload_col], stride)]
+            yield pdf[keep].reset_index(drop=True).assign(
+                out_w=out_w,
+                out_h=out_h,
+                resized_n_bytes=np.int64([len(r) for r in resized]),
+                resized=resized,
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def extract_features(
     df: DataFrame, payload_col: str = "payload", dim: int = 16, keep: list[str] | None = None
 ) -> DataFrame:

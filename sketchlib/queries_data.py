@@ -302,6 +302,39 @@ def hll_distinct_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "lang string, exact_distinct long, within_bound boolean")
 
 
+@register(
+    "tdigest_median_per_type",
+    "SELECT event_type, TRUE AS rank_ok FROM events GROUP BY event_type",
+)
+def tdigest_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped quantile sketches: one t-digest per event_type (skew-safe
+    two-phase build), each median estimate rank-checked against the exact
+    per-group distribution in a single pass (|rank − 0.5| ≤ 0.02)."""
+    from sketchlib.queries import _events
+    from sketchlib.spark.agg import SketchSpec, build_sketch_grouped, grouped_estimates
+
+    ev = _events(spark, sf_dir)
+    spec = SketchSpec("g-td-type", "tdigest", (200,))
+    grouped = build_sketch_grouped(ev, "event_type", spec, "value")
+    est = {
+        r["event_type"]: float(r["estimate"])
+        for r in grouped_estimates(grouped, spec, "event_type").collect()
+    }
+    mapping = F.create_map(*[x for k, v in est.items() for x in (F.lit(k), F.lit(v))])
+    ranks = (
+        ev.groupBy("event_type")
+        .agg(
+            (
+                F.sum((F.col("value") <= mapping[F.col("event_type")]).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("r")
+        )
+        .collect()
+    )
+    rows = [(r["event_type"], bool(abs(r["r"] - 0.5) <= 0.02)) for r in ranks]
+    return spark.createDataFrame(rows, "event_type string, rank_ok boolean")
+
+
 _PIPE_ORACLE = (
     "SELECT MIN(doc_id) AS doc_id FROM documents "
     f"WHERE {token_count_sql('duckdb')} BETWEEN 10 AND 100000 "
@@ -527,3 +560,63 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     with_payload = attach_payload(docs).select("doc_id", "payload")
     return decode_meta(with_payload).drop("checksum")
+
+
+# the oracle slices the SAME windows with varchar substrings — valid because
+# the corpus is pure ASCII (byte offsets == char offsets; asserted below by
+# the md5 equality itself: any multibyte char would break the hash)
+_FRAME_ORACLE = """
+WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text FROM documents),
+i AS (SELECT UNNEST(range(4)) AS fi)
+SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+       CAST((fi * GREATEST(n - 32, 0)) // 3 AS BIGINT) AS frame_off,
+       md5(substring(text, CAST((fi * GREATEST(n - 32, 0)) // 3 AS BIGINT) + 1, 32)) AS frame_md5
+FROM f, i
+"""
+
+
+@register("mm_frame_sample", _FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: 4 evenly-spaced 32-byte windows
+    per document, one row per frame — the video/keyframe batch shape with
+    real offsets/slicing (codec-free); frames fingerprinted with md5 so the
+    oracle checks the actual sliced BYTES, not just the offsets."""
+    from sketchlib.multimodal import attach_payload, frame_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    with_payload = attach_payload(docs).select("doc_id", "payload")
+    frames = frame_sample(with_payload, n_frames=4, frame_len=32, keep=["doc_id"])
+    return frames.select(
+        "doc_id", "frame_idx", "frame_off", F.md5("frame").alias("frame_md5")
+    )
+
+
+_RESIZE_ORACLE = """
+WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+d AS (SELECT doc_id, n, n % 640 + 1 AS w, n * 7 % 480 + 1 AS h FROM m),
+r AS (SELECT *, GREATEST(w, h) AS mx FROM d),
+o AS (SELECT doc_id, n, w, h,
+        CASE WHEN mx > 64 THEN GREATEST(1, w * 64 // mx) ELSE w END AS ow,
+        CASE WHEN mx > 64 THEN GREATEST(1, h * 64 // mx) ELSE h END AS oh
+      FROM r),
+s AS (SELECT *, GREATEST(1, (w * h) // GREATEST(ow * oh, 1)) AS stride FROM o)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+       CAST((n + stride - 1) // stride AS BIGINT) AS resized_n_bytes
+FROM s
+"""
+
+
+@register("mm_resize_fit", _RESIZE_ORACLE)
+def mm_resize_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit-within resize plumbing (integer math end to
+    end): decode metadata, compute the 64-max-side target, decimate the
+    payload by the pixel-count stride. Oracle re-derives the full integer
+    pipeline in SQL."""
+    from sketchlib.multimodal import attach_payload, decode_meta, resize_fit
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    with_payload = attach_payload(docs).select("doc_id", "payload")
+    meta = decode_meta(with_payload, keep=["doc_id", "payload"])
+    out = resize_fit(meta, keep=["doc_id", "width", "height"])
+    return out.select("doc_id", "width", "height", "out_w", "out_h", "resized_n_bytes")
