@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the composed training-data pipeline over a
+documents table — quality filter → deterministic held-out split → exact
+dedup → near-dup pair generation (MinHash-LSH, candidate-only exact
+verify) → connected-component survivor selection → FP32 membership filter
+over the survivors → metrics report.
+
+The north-rule execution mode::
+
+    zip -r sketchlib.zip sketchlib
+    spark-submit --py-files sketchlib.zip jobs/training_pipeline_job.py \
+        --input /data/documents.parquet --output /data/clean \
+        --holdout-threshold 28 --jaccard 0.5 --num-shards 4096
+
+Every stage is a registry-oracled operator (see sketchlib/queries_data.py);
+this job only composes them. Output: ``<output>/survivors`` (doc_id +
+canonical cluster), ``<output>/filter`` (sharded cuckoo membership filter
+over survivor doc_ids), ``<output>/metrics.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--holdout-threshold", default="28", help="md5 hex threshold for the held-out split")
+    ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--max-tokens", type=int, default=100_000)
+    ap.add_argument("--fpsize", type=int, default=4, choices=[1, 2, 4])
+    ap.add_argument("--num-shards", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from sketchlib.dedup import dedup_exact, minhash_lsh_pairs, near_dup_clusters
+    from sketchlib.kernels.cuckoo import size_for
+    from sketchlib.relops import sample_by_hash
+    from sketchlib.spark.cuckoo import CuckooSpec, ShardedCuckoo, build_filter_direct, probe
+    from sketchlib.textops import token_count_sql
+
+    spark = SparkSession.builder.appName("sketchlib-training-pipeline").getOrCreate()
+    os.makedirs(args.output, exist_ok=True)
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    ok = docs.selectExpr("*", f"{token_count_sql('spark')} AS __tc").filter(
+        f"__tc BETWEEN {args.min_tokens} AND {args.max_tokens}"
+    ).drop("__tc")
+    # held-out split (reproducible across engines/runs) excluded from training
+    held = sample_by_hash(ok, "CAST(doc_id AS STRING)", args.holdout_threshold).select("doc_id")
+    train = ok.join(held, "doc_id", "left_anti")
+
+    exact_kept = dedup_exact(train).select(F.col("keep_doc_id").alias("doc_id"))
+    kept_docs = train.join(exact_kept, "doc_id", "left_semi")
+    pairs = minhash_lsh_pairs(kept_docs, threshold=args.jaccard)
+    clusters = near_dup_clusters(pairs)
+    # survivors: cluster canonicals + docs in no near-dup pair at all
+    survivors = (
+        kept_docs.select("doc_id")
+        .join(clusters.filter("doc_id <> cluster_id"), "doc_id", "left_anti")
+    )
+    n_surv = survivors.count()
+    survivors.write.mode("overwrite").parquet(os.path.join(args.output, "survivors"))
+
+    spec = CuckooSpec(
+        "train-members",
+        size_for(max(n_surv // args.num_shards, 1) * 2, args.fpsize),
+        args.fpsize,
+        num_shards=args.num_shards,
+    )
+    merged = build_filter_direct(
+        spark.read.parquet(os.path.join(args.output, "survivors")),
+        spec,
+        key=F.col("doc_id").cast("string"),
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(args.output, "filter"))
+    sc = ShardedCuckoo.from_df(spark.read.parquet(os.path.join(args.output, "filter")), spec)
+    fn = (
+        probe(survivors.select("doc_id"), sc, key=F.col("doc_id").cast("string"))
+        .filter("NOT member")
+        .count()
+    )
+    metrics = {
+        "input_rows": n_in,
+        "survivors": n_surv,
+        "filter_count": sc.count(),
+        "false_negatives": fn,
+        "broken": sc.is_broken(),
+        "seconds": round(time.time() - t0, 2),
+    }
+    assert fn == 0, "membership filter lost survivors"
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        json.dump(metrics, f)
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

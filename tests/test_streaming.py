@@ -112,6 +112,59 @@ def test_fast_sink_semantics_equal_canonical(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_streaming_sessions_match_batch(spark, sf_dir):
+    """Sessionization uses the SAME session_window operator in batch and
+    streaming: every session the watermarked stream emits (append mode →
+    closed sessions only) must be exactly a session of the batch run."""
+    from sketchlib.relops import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    batch = {
+        (r["user_id"], r["session_start_us"], r["last_ts_us"], r["n_events"])
+        for r in sessionize(ev, "user_id", "ts", "30 minutes").collect()
+    }
+    work = tempfile.mkdtemp(prefix="sketchlib-sess-")
+    try:
+        src = os.path.join(work, "src")
+        ev.withColumn("g", F.pmod(F.xxhash64("ts"), F.lit(4))).write.partitionBy("g").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/g=*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 minute")
+        )
+        agg = (
+            stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("__w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("__last"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("__w.start")).alias("session_start_us"),
+                F.unix_micros(F.col("__last")).alias("last_ts_us"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = {
+            (r["user_id"], r["session_start_us"], r["last_ts_us"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+        # append mode emits only watermark-closed sessions; files arrive
+        # out of event-time order, so some sessions stay open at stream end
+        assert emitted, "no sessions emitted"
+        assert emitted <= batch, f"streaming emitted a session batch never produced: {sorted(emitted - batch)[:3]}"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_streaming_distinct_per_key_stateful(spark, sf_dir):
     """applyInPandasWithState: running per-key HLL across micro-batches;
     the final update-mode estimate must match the exact batch distinct
