@@ -343,6 +343,46 @@ def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, exact_n long, est_ok boolean")
 
 
+@register(
+    "hll_user_overlap",
+    "SELECT "
+    "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS exact_a, "
+    "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_b, "
+    "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type IN ('click','purchase')) AS exact_union, "
+    "TRUE AS union_ok, TRUE AS inter_ok",
+)
+def hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: the mergeable-aggregator payoff — |A∪B| is a
+    LOSSLESS HLL merge (never re-scan either side), |A∩B| falls out by
+    inclusion-exclusion. Estimates checked against exact distinct counts
+    within the compounded 1.04/√m bounds."""
+    import numpy as np
+
+    from sketchlib.kernels.hll import HyperLogLog
+    from sketchlib.spark.agg import SketchSpec, build_sketch
+
+    ev = _events(spark, sf_dir)
+    a = build_sketch(ev.filter("event_type = 'click'"), SketchSpec("ov-a", "hll", (14,)), "user_id")
+    b = build_sketch(ev.filter("event_type = 'purchase'"), SketchSpec("ov-b", "hll", (14,)), "user_id")
+    u = HyperLogLog.merge([a, b])
+    row = ev.agg(
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("ea"),
+        F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias("eb"),
+        F.countDistinct(
+            F.when(F.col("event_type").isin("click", "purchase"), F.col("user_id"))
+        ).alias("eu"),
+    ).first()
+    sigma = 3 * 1.04 / np.sqrt(a.m)
+    union_ok = abs(u.estimate() - row["eu"]) <= sigma * row["eu"] + 1
+    inter_est = a.estimate() + b.estimate() - u.estimate()
+    exact_inter = row["ea"] + row["eb"] - row["eu"]
+    inter_ok = abs(inter_est - exact_inter) <= sigma * (row["ea"] + row["eb"] + row["eu"]) + 2
+    return spark.createDataFrame(
+        [(row["ea"], row["eb"], row["eu"], bool(union_ok), bool(inter_ok))],
+        "exact_a long, exact_b long, exact_union long, union_ok boolean, inter_ok boolean",
+    )
+
+
 _QUANTILES = [("p10", 0.1), ("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9), ("p99", 0.99)]
 _Q_ORACLE = " UNION ALL ".join(f"SELECT '{lbl}' AS qlabel, TRUE AS rank_ok" for lbl, _ in _QUANTILES)
 

@@ -592,6 +592,27 @@ def probe_cogrouped(
     )
 
 
+def probe_auto(
+    merged: DataFrame,
+    probes: DataFrame,
+    spec: CuckooSpec,
+    key=None,
+    broadcast_limit_bytes: int = 256 << 20,
+    **kw,
+) -> DataFrame:
+    """CF.CHECK with automatic physical strategy: broadcast the shard blobs
+    when the TOTAL filter size fits comfortably on every executor
+    (default 256 MiB — tune to executor memory), else co-partition probes
+    with their shard (:func:`probe_cogrouped`). The decision reads only
+    the per-shard blob SIZES (one tiny aggregation over the merged table),
+    never ships the blobs to the driver unless broadcasting anyway. Both
+    paths return identical results (tested)."""
+    total = merged.select(F.sum(F.octet_length("sketch")).alias("b")).first()["b"] or 0
+    if total <= broadcast_limit_bytes:
+        return probe(probes, ShardedCuckoo.from_df(merged, spec), key=key, **kw)
+    return probe_cogrouped(merged, probes, spec, key=key, **kw)
+
+
 def fix_toofull_shards(merged: DataFrame) -> DataFrame:
     """CF.FIXTOOFULL, distributed (reference redis-cuckoofilter.zig:325-353):
     try to re-home each shard's homeless fingerprint. Shards that stay too

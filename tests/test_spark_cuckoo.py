@@ -181,6 +181,30 @@ def test_probe_cogrouped_equals_broadcast(spark, docs):
     assert all(a[r["doc_id"]] for r in docs.select("doc_id").collect())
 
 
+def test_probe_auto_picks_equivalent_paths(spark, docs):
+    """probe_auto dispatches on total blob size: a huge limit takes the
+    broadcast path, a zero limit the cogrouped path — identical answers."""
+    from sketchlib.spark.cuckoo import probe_auto
+
+    spec = CuckooSpec(name="auto", size=size_for(2000, 2), fpsize=2, num_shards=4)
+    key = F.col("doc_id").cast("string")
+    merged = build_filter(docs, spec, key=key).cache()
+    probes = docs.select("doc_id").union(
+        docs.select((F.col("doc_id") + 5_000_000).alias("doc_id"))
+    )
+    bkey = F.col("doc_id").cast("string")
+    via_bc = {
+        r["doc_id"]: r["member"]
+        for r in probe_auto(merged, probes, spec, key=bkey, broadcast_limit_bytes=1 << 40).collect()
+    }
+    via_cg = {
+        r["doc_id"]: r["member"]
+        for r in probe_auto(merged, probes, spec, key=bkey, broadcast_limit_bytes=0).collect()
+    }
+    assert via_bc == via_cg
+    assert all(via_bc[r["doc_id"]] for r in docs.select("doc_id").collect())
+
+
 def test_fix_toofull_shards(spark):
     from sketchlib.spark.cuckoo import fix_toofull_shards, remove_keys, probe
 
