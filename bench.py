@@ -281,6 +281,33 @@ def main():
 
     timed("lineitem_pricing_summary", lambda: q.lineitem_pricing_summary(spark, SF_DIR).collect())
 
+    # training-data pipeline operators over the driver tables
+    from sketchlib.dedup import minhash_lsh_pairs, near_dup_clusters
+    from sketchlib.relops import asof_join, sessionize
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    pairs = timed(
+        "dedup_minhash_lsh", lambda: minhash_lsh_pairs(docs, threshold=0.5).localCheckpoint(eager=True)
+    )
+    extra["dedup_docs_per_sec"] = round(n_docs / queries["dedup_minhash_lsh"], 1)
+    timed("dedup_clusters", lambda: near_dup_clusters(pairs).count())
+    n_ev = ev.count()
+    timed("user_sessions", lambda: sessionize(ev, "user_id", "ts").count())
+    extra["sessionize_events_per_sec"] = round(n_ev / queries["user_sessions"], 1)
+
+    def _asof():
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        purch = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").cast("timestamp").alias("pts"),
+            F.col("event_id").alias("pid"),
+        )
+        return asof_join(clicks, purch, "user_id", "ts", "pts", ["pid"]).count()
+
+    timed("asof_click_attribution", _asof)
+
     # scaling (north_rule ≥0.8 at N→4N): the compute-dense kernel workload
     # at local[8] vs local[32], interleaved with the same-kernel mp control
     # so host CPU drift cancels; 3 reps, median. See module docstring and
