@@ -101,6 +101,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + candidate-only exact verification.
 
@@ -116,6 +117,14 @@ def minhash_lsh_pairs(
 
     ``threshold`` must be > 0 (candidate pairs sharing zero bigrams are
     dropped, which is only correct when jaccard 0 cannot pass the filter).
+
+    ``max_bucket_size``: at web scale a degenerate band bucket (boilerplate
+    pages, empty-ish docs hashing alike) produces a quadratic pair blowup
+    inside the self-join. Setting a cap DROPS buckets with more members
+    than the cap before pairing — the standard recall-for-boundedness
+    trade (a doc pair loses only the capped bucket; the other ``bands-1``
+    bands still vote, so recall degrades gracefully). ``None`` (default)
+    keeps exact LSH semantics (and oracle parity).
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0")
@@ -134,6 +143,14 @@ def minhash_lsh_pairs(
         "doc_id",
         F.explode(F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("v")) for b in range(bands)])).alias("bv"),
     ).select("doc_id", F.col("bv.b").alias("band"), F.col("bv.v").alias("bucket"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        # count members per bucket with a window (same shuffle the join
+        # needs anyway) and drop degenerate buckets before pairing
+        stacked = stacked.withColumn(
+            "__bsz", F.count(F.lit(1)).over(W.partitionBy("band", "bucket"))
+        ).filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     x, y = stacked.alias("x"), stacked.alias("y")
     cands = (
         x.join(y, ["band", "bucket"])
@@ -317,6 +334,7 @@ def embedding_lsh_pairs(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded sign-LSH pairwise near-dup — the scale path for embedding
     dedup (mirrors the MinHash-LSH shape: bucket → candidate self-join →
@@ -350,6 +368,14 @@ def embedding_lsh_pairs(
             ])
         ).alias("bv"),
     ).select("vec_id", F.col("bv.band").alias("band"), F.col("bv.blk").alias("blk"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window as W
+
+        # degenerate sign-buckets (near-zero vectors, dataset-wide modes)
+        # blow up quadratically in the self-join — cap like minhash_lsh_pairs
+        blocks = blocks.withColumn(
+            "__bsz", F.count(F.lit(1)).over(W.partitionBy("band", "blk"))
+        ).filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     x, y = blocks.alias("x"), blocks.alias("y")
     cands = (
         x.join(y, ["band", "blk"])

@@ -540,6 +540,44 @@ def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+_IVF_ORACLE = """
+WITH cr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+c AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn FROM cr),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+asg AS (SELECT vec_id, v, cid,
+        ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY list_dot_product(v, cvn) DESC, cid) AS rn
+        FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+pc AS (SELECT cid, ROW_NUMBER() OVER (
+         ORDER BY list_dot_product(cvn, (SELECT qv FROM q)) DESC, cid) AS qr FROM c)
+SELECT a.vec_id FROM a JOIN (SELECT cid FROM pc WHERE qr <= 4) p USING (cid), q
+ORDER BY ROUND(list_cosine_similarity(a.v, q.qv), 9) DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", _IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: hash-sampled normalized centroids → max-dot assignment →
+    index partitioned by centroid → probe reads only the nprobe best
+    partitions → exact re-score. The oracle re-derives the ENTIRE pipeline
+    (centroid choice, assignment argmax, probe ranking, re-score) in
+    DuckDB SQL — algorithm-level parity with zero literals."""
+    import os
+
+    from sketchlib.similarity import ivf_topk, write_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        write_ivf_index(emb, idx, k=16)
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_topk(spark, idx, qvec, k=10, nprobe=4).select("vec_id")
+
+
 # --------------------------------------------------------- multimodal
 
 

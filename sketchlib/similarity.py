@@ -154,6 +154,84 @@ def lsh_cosine_topk_indexed(
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_centroids(
+    emb: DataFrame, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the ``k`` corpus vectors with
+    the smallest md5(id) (an engine-portable hash-ordered sample — at real
+    scale swap in k-means|| centroids; every downstream mechanic is
+    identical), L2-normalized so assignment-by-dot equals
+    assignment-by-cosine. Returns (cid, cvn)."""
+    nrm = F.sqrt(F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return (
+        emb.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
+        .select("cid", F.transform("cv", lambda x: x / nrm).alias("cvn"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, cents: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector to its max-dot (= max-cosine) centroid: broadcast
+    the tiny centroid table, k dot products per row, keep the argmax
+    (row_number over (dot DESC, cid) — deterministic ties). The k× row
+    amplification before the reduce is the standard IVF assignment cost."""
+    from pyspark.sql import Window as W
+
+    v = as_double(vec_col)
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn("__d", _dot(v, F.col("cvn")))
+    w = W.partitionBy(id_col).orderBy(F.desc("__d"), "cid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .select(*emb.columns, F.col("cid").alias("centroid"))
+    )
+
+
+def write_ivf_index(
+    emb: DataFrame, path: str, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> None:
+    """Materialize the IVF index: rows partitioned by assigned centroid
+    (probes prune to ``nprobe`` directories) + the centroid table beside it.
+    Written once, probed many times."""
+    cents = ivf_centroids(emb, k, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(path + "_centroids")
+    ivf_assign(emb, cents, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(path)
+
+
+def ivf_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids against the query driver-side (k tiny dot
+    products, sequential float64 fold — same arithmetic as the in-plan
+    assignment), read ONLY the ``nprobe`` best centroid partitions
+    (directory pruning), exact-re-score candidates. Precision 1; recall
+    grows with nprobe (measured vs brute force in tests)."""
+    cents = spark.read.parquet(index_path + "_centroids").collect()
+    q = [float(x) for x in query_vec]
+
+    def seq_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    ranked = sorted(((-seq_dot(q, r["cvn"]), r["cid"]) for r in cents))
+    probe_cids = [cid for _, cid in ranked[:nprobe]]
+    cand = spark.read.parquet(index_path).filter(F.col("centroid").isin(probe_cids))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec,

@@ -108,6 +108,22 @@ def test_embedding_near_dups(spark):
     assert len(pairs) == 3  # random 16-dim gaussians don't hit 0.95
 
 
+def test_minhash_bucket_cap(spark, corpus):
+    """max_bucket_size drops only degenerate buckets: a generous cap keeps
+    the output identical; the capped output is always a subset."""
+    full = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(corpus, 0.5).collect()}
+    same = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(corpus, 0.5, max_bucket_size=10_000).collect()
+    }
+    assert same == full
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(corpus, 0.5, max_bucket_size=2).collect()
+    }
+    assert capped <= full
+
+
 def test_near_dup_clusters_known_graph(spark):
     """Min-label components on a known graph: a 4-chain (propagation needs
     multiple rounds), a triangle, an isolated pair."""

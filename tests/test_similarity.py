@@ -69,6 +69,31 @@ def test_lsh_topk_recall(spark, emb, emb_np):
     assert got <= set(ids.tolist())
 
 
+def test_ivf_topk_recall_and_pruning(spark, emb, emb_np, tmp_path):
+    """IVF probe: partition-pruned candidate read, precision 1, recall vs
+    brute force grows to 1 as nprobe → n_centroids."""
+    from sketchlib.similarity import ivf_topk, write_ivf_index
+
+    ids, mat = emb_np
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, k=16)
+    stored = spark.read.parquet(idx)
+    assert stored.count() == len(ids)
+    assert stored.select("centroid").distinct().count() <= 16
+    recalls = []
+    for qi in (0, 11, 42):
+        q = mat[qi].tolist()
+        exact = _exact_topk(ids, mat, q, 10)
+        got = {r["vec_id"] for r in ivf_topk(spark, idx, q, k=10, nprobe=4).collect()}
+        assert got <= set(ids.tolist())
+        recalls.append(len(got & exact) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+    # probing ALL centroids must recover the exact top-k
+    q = mat[0].tolist()
+    full = {r["vec_id"] for r in ivf_topk(spark, idx, q, k=10, nprobe=16).collect()}
+    assert full == _exact_topk(ids, mat, q, 10)
+
+
 def test_indexed_probe_equals_adhoc(spark, emb, emb_np, tmp_path):
     """The materialized-signature probe (partition-pruned scan of the stored
     sig column) returns exactly what the ad-hoc in-plan variant returns —
