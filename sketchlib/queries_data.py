@@ -16,14 +16,18 @@ from pyspark.sql import functions as F
 from sketchlib.queries import _docs, register
 from sketchlib.textops import (
     _PAD_T,
+    bpe_token_count_sql,
     fingerprint_sql,
     lang_id_sql,
     norm_text_sql,
     quality_sql,
+    rolling_fingerprint_sql,
     token_count_sql,
+    with_bpe_token_count,
     with_fingerprint,
     with_lang_id,
     with_quality,
+    with_rolling_fingerprint,
     with_simhash,
     with_token_count,
 )
@@ -68,6 +72,27 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_token_count_bpe",
+    f"SELECT doc_id, {bpe_token_count_sql('duckdb')} AS n_bpe_tokens FROM documents",
+)
+def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter/digit/punctuation runs via one regex
+    scan) — the pre-tokenizer-shaped companion to the whitespace count."""
+    return with_bpe_token_count(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_rolling_fingerprint",
+    f"SELECT doc_id, {rolling_fingerprint_sql('duckdb')} AS rolling_fp FROM documents",
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint, folded char by
+    char with higher-order list functions in BOTH engines (identical
+    left-to-right modular arithmetic is what the gate hashes)."""
+    return with_rolling_fingerprint(_docs(spark, sf_dir))
 
 
 @register(

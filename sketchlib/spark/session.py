@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SKETCHLIB_DRIVER_MEM", "8g"))
+        # keep bucketed-table state out of the repo / cwd
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SKETCHLIB_WAREHOUSE", "/tmp/sketchlib_warehouse"))
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -88,6 +88,41 @@ def fingerprint_sql(dialect: str) -> str:
     return f"md5({norm_text_sql(dialect)})"
 
 
+def bpe_token_count_sql(dialect: str) -> str:
+    """BPE-ish token count: letter runs, digit runs, and punctuation runs
+    count separately (the GPT-2-style pre-tokenizer shape), via one regex
+    scan. Portable: same pattern text in both engines (only the \\s escape
+    differs, like ws_regex)."""
+    if dialect == "spark":
+        pat = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]+'"
+        return f"CAST(size(regexp_extract_all(text, {pat}, 0)) AS BIGINT)"
+    pat = "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'"
+    return f"CAST(len(regexp_extract_all(text, {pat})) AS BIGINT)"
+
+
+#: polynomial rolling-hash parameters (shared by both engines)
+_ROLL_BASE, _ROLL_MOD = 31, 1_000_000_007
+
+
+def rolling_fingerprint_sql(dialect: str) -> str:
+    """Polynomial rolling hash of the normalized text, char by char:
+    h ← (h·31 + codepoint) mod 1e9+7 — an order-sensitive linear-scan
+    fingerprint (unlike md5, prefixes can be extended incrementally). The
+    fold is expressed with higher-order list functions in BOTH engines, so
+    the gate checks the identical left-to-right arithmetic."""
+    n = norm_text_sql(dialect)
+    if dialect == "spark":
+        return (
+            f"aggregate(transform(split({n}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD})"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({n}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD})"
+    )
+
+
 def quality_sql(dialect: str) -> list[str]:
     """Quality features + bucket, as portable fragments over ``documents``."""
     tc = token_count_sql(dialect)
@@ -127,6 +162,14 @@ def with_token_count(docs: DataFrame) -> DataFrame:
 
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.selectExpr("doc_id", f"{fingerprint_sql('spark')} AS fingerprint")
+
+
+def with_bpe_token_count(docs: DataFrame) -> DataFrame:
+    return docs.selectExpr("doc_id", f"{bpe_token_count_sql('spark')} AS n_bpe_tokens")
+
+
+def with_rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    return docs.selectExpr("doc_id", f"{rolling_fingerprint_sql('spark')} AS rolling_fp")
 
 
 def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:

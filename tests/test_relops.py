@@ -125,6 +125,36 @@ def test_asof_join_differential_vs_pandas(spark):
         assert got == ref, f"strict={strict}"
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located joins (the 100-TB fact-to-fact pattern): two tables
+    bucketed on the join key join WITHOUT any Exchange in the physical
+    plan — the shuffle was paid once at write time."""
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)  # stale location from a prior session
+    docs.select("doc_id", "source").write.bucketBy(8, "doc_id").sortBy("doc_id").mode(
+        "overwrite"
+    ).saveAsTable("bkt_a")
+    docs.select("doc_id", "lang").write.bucketBy(8, "doc_id").sortBy("doc_id").mode(
+        "overwrite"
+    ).saveAsTable("bkt_b")
+    # hint("merge") pins SortMergeJoin (the fact-to-fact shape — at test
+    # size the planner would otherwise broadcast); bucketing then removes
+    # the shuffle entirely
+    j = spark.table("bkt_a").hint("merge").join(spark.table("bkt_b"), "doc_id")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert "Bucketed: true" in plan, plan[:1500]
+    assert j.count() == docs.count()
+    for t in ("bkt_a", "bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_sample_by_hash_deterministic_and_nested(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     a = {r["doc_id"] for r in sample_by_hash(docs, "CAST(doc_id AS STRING)", "28").collect()}
