@@ -476,6 +476,108 @@ def segment_shipping_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regional_supplier_volume",
+    "SELECT n.n_name, "
+    "  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * "
+    "           (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue, "
+    "  COUNT(*) AS n_lines "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    "GROUP BY n.n_name",
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join (fact chain + 3 broadcast dims + the
+    same-nation co-location predicate) — exercises every remaining driver
+    table (supplier/nation/region)."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    supp, nation, region = rd("supplier"), rd("nation"), rd("region")
+    p = F.col("l_extendedprice").cast("decimal(18,4)")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(p * (F.lit(1).cast("decimal(18,4)") - d)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    "SELECT ROUND(CAST((SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * "
+    "              (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) "
+    "       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "       WHERE p.p_type = 'PROMO') / "
+    "      (SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * "
+    "              (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) FROM lineitem l) "
+    "      * 100 AS DOUBLE), 6) AS promo_pct",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share (part dim broadcast, conditional
+    aggregation, decimal-exact sums ratioed in double)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    row = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .cast("double").alias("promo"),
+        F.sum(rev).cast("double").alias("total"),
+    )
+    return row.select(F.round(F.col("promo") / F.col("total") * 100, 6).alias("promo_pct"))
+
+
+@register(
+    "lang_source_rollup",
+    "SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY ROLLUP(lang, source)",
+)
+def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation: ROLLUP(lang, source) with subtotal and
+    grand-total rows (null-marked) — identical null semantics both engines."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SOURCES = [f"src{i}" for i in range(20)]
+
+_PIVOT_ORACLE = (
+    "SELECT lang, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
+        for s in _SOURCES
+    )
+    + " FROM documents GROUP BY lang"
+)
+
+
+@register("lang_by_source_pivot", _PIVOT_ORACLE)
+def lang_by_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-language counts spread across the 20 source columns
+    (explicit value list keeps the schema static); missing combos are 0 in
+    both engines."""
+    out = _docs(spark, sf_dir).groupBy("lang").pivot("source", _SOURCES).count()
+    return out.na.fill(0, _SOURCES)
+
+
+@register(
     "builtin_sketch_crosscheck",
     "SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS hll_ok, "
     "TRUE AS builtin_ok, TRUE AS kll_vs_builtin_ok FROM events",
