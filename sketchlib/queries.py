@@ -556,6 +556,58 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "daily_event_trend",
+    "WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1) "
+    "SELECT CAST(day AS VARCHAR) AS day, n, "
+    "  CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta, "
+    "  CAST(AVG(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    "    AS ma7 FROM d",
+)
+def daily_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series window breadth: daily counts with day-over-day delta
+    (lag) and a 7-day moving average (bounded ROWS frame) — one shuffle,
+    ordered analytic functions over it."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy("day")
+    ma = W.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        (F.col("n") - F.lag("n").over(w)).cast("long").alias("delta"),
+        F.avg("n").over(ma).cast("double").alias("ma7"),
+    )
+
+
+from sketchlib.textops import token_count_sql as _tc_sql  # noqa: E402
+
+
+@register(
+    "long_docs_non_english",
+    # set-operator breadth: EXCEPT removes the English docs from the
+    # long-doc set; INTERSECT confirms membership in both derived sets
+    f"WITH long_docs AS (SELECT doc_id FROM documents WHERE {_tc_sql('duckdb')} > 40), "
+    "en AS (SELECT doc_id FROM documents WHERE lang = 'en') "
+    "SELECT doc_id FROM (SELECT * FROM long_docs EXCEPT SELECT * FROM en) "
+    "INTERSECT SELECT doc_id FROM documents WHERE source <> 'src0'",
+)
+def long_docs_non_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator breadth: EXCEPT + INTERSECT composed over derived doc
+    sets (Spark subtract/intersect distinct semantics ≡ SQL)."""
+    from sketchlib.textops import token_count_sql
+
+    docs = _docs(spark, sf_dir)
+    long_docs = docs.selectExpr("doc_id", f"{token_count_sql('spark')} AS tc").filter(
+        "tc > 40"
+    ).select("doc_id")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    other = docs.filter(F.col("source") != "src0").select("doc_id")
+    return long_docs.subtract(en).intersect(other)
+
+
 _SOURCES = [f"src{i}" for i in range(20)]
 
 _PIVOT_ORACLE = (
