@@ -53,22 +53,56 @@ def _bigram_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int | None = None
+) -> DataFrame:
     """Exact word-bigram Jaccard over all qualifying pairs.
 
     Pairs sharing ≥1 bigram come from an equi-join on the bigram (shuffle on
     the short bigram string, not the document); set sizes join in broadcast.
     This is the exact verifier — quadratic only within bigram groups.
+
+    ``max_df``: stop-word bigrams ("of the") occur in a large fraction of a
+    web corpus and make their join groups quadratic in corpus size. Setting
+    a document-frequency cap excludes those bigrams from PAIR GENERATION
+    only (set sizes and intersections still count them), so high-overlap
+    pairs are still found through their rarer bigrams while the worst-case
+    group size is bounded. ``None`` (default) keeps exact semantics (and
+    oracle parity). At 100 TB always set it (or use minhash_lsh_pairs).
     """
     sets = _bigram_sets(docs).cache()
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sets.alias("a"), sets.alias("b")
-    inter = (
-        a.join(b, "bigram")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if max_df is None:
+        a, b = sets.alias("a"), sets.alias("b")
+        inter = (
+            a.join(b, "bigram")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        # pair generation restricted to rare bigrams (bounded group size);
+        # intersections then recomputed EXACTLY over the full bigram sets
+        # through the candidate list — jaccard values stay exact
+        rare = sets.groupBy("bigram").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        rs = sets.join(rare.select("bigram"), "bigram", "left_semi")
+        a, b = rs.alias("a"), rs.alias("b")
+        cands = (
+            a.join(b, "bigram")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sa = sets.select(F.col("doc_id").alias("doc_a"), "bigram")
+        sb = sets.select(F.col("doc_id").alias("doc_b"), "bigram")
+        inter = (
+            cands.join(sa, "doc_a")
+            .join(sb, ["doc_b", "bigram"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (

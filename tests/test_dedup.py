@@ -108,6 +108,27 @@ def test_embedding_near_dups(spark):
     assert len(pairs) == 3  # random 16-dim gaussians don't hit 0.95
 
 
+def test_ngram_jaccard_max_df(spark, corpus):
+    """max_df bounds pair-generation group size; jaccard values of surviving
+    pairs stay EXACT (intersections recomputed over full sets)."""
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e6"]
+        for r in ngram_jaccard_pairs(corpus, 0.5).collect()
+    }
+    same = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e6"]
+        for r in ngram_jaccard_pairs(corpus, 0.5, max_df=10_000).collect()
+    }
+    assert same == full
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_e6"]
+        for r in ngram_jaccard_pairs(corpus, 0.5, max_df=2).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k]  # exact values even under capping
+
+
 def test_minhash_bucket_cap(spark, corpus):
     """max_bucket_size drops only degenerate buckets: a generous cap keeps
     the output identical; the capped output is always a subset."""
