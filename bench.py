@@ -179,14 +179,20 @@ def scaling_build_run(cores: int) -> dict:
     )
     num_shards = 32
     spec = CuckooSpec("scale", size_for(int(n * 1.3) // num_shards, 2), 2, num_shards=num_shards)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        merged = build_filter_direct(urls, spec, key=F.col("url"), reduce_partitions=num_shards)
-        sc = ShardedCuckoo.from_df(merged, spec)
-        dt = time.perf_counter() - t0
-        assert sc.count() == n, f"build lost rows: {sc.count()}"
-        best = min(best, dt)
+    # single timed iteration (a small warm-up build primes codegen/workers):
+    # this is SECONDARY evidence — the kernel workload above is the declared
+    # scaling measurement — so keep its wall-clock cost low
+    warm = CuckooSpec("scale-warm", size_for(100_000, 2), 2, num_shards=num_shards)
+    ShardedCuckoo.from_df(
+        build_filter_direct(urls.limit(200_000), warm, key=F.col("url"),
+                            reduce_partitions=num_shards),
+        warm,
+    ).count()
+    t0 = time.perf_counter()
+    merged = build_filter_direct(urls, spec, key=F.col("url"), reduce_partitions=num_shards)
+    sc = ShardedCuckoo.from_df(merged, spec)
+    best = time.perf_counter() - t0
+    assert sc.count() == n, f"build lost rows: {sc.count()}"
     spark.stop()
     return {"cores": cores, "seconds": best, "rows": n, "docs_per_sec": n / best}
 

@@ -112,6 +112,42 @@ def test_fast_sink_semantics_equal_canonical(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates on the md5 fingerprint over a
+    micro-batched stream keeps exactly one doc per normalized text — the
+    same groups the batch dedup_exact produces."""
+    from sketchlib.dedup import dedup_exact
+    from sketchlib.textops import fingerprint_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batch_groups = dedup_exact(docs).count()
+    work = tempfile.mkdtemp(prefix="sketchlib-sdedup-")
+    try:
+        src = os.path.join(work, "src")
+        docs.withColumn("g", F.pmod("doc_id", F.lit(4))).write.partitionBy("g").parquet(src)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/g=*")
+            .selectExpr("doc_id", f"{fingerprint_sql('spark')} AS fp")
+            .dropDuplicates(["fp"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("sdedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM sdedup_out").collect()
+        assert len(out) == batch_groups  # one survivor per distinct text
+        assert len({r["fp"] for r in out}) == len(out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def test_streaming_sessions_match_batch(spark, sf_dir):
     """Sessionization uses the SAME session_window operator in batch and
     streaming: every session the watermarked stream emits (append mode →
