@@ -348,14 +348,11 @@ def main():
             log(f"  rep {rep}: {rec}")
             reps.append(rec)
 
+        # WITHIN-rep ratios only: pairing bests across reps is invalid —
+        # the host's fast minutes differ per slot, so cross-window ratios
+        # compare different machines. Median of per-rep normalized ratios
+        # is the estimator; all reps are recorded raw for inspection.
         med = lambda k: sorted(r[k] for r in reps)[len(reps) // 2]  # noqa: E731
-        # best-of-slots: host steal is strictly additive noise, so the max
-        # per slot across reps estimates the machine's true deliverable
-        # rate; the normalized ratio from bests is the low-noise secondary
-        best = lambda k: max(r[k] for r in reps)  # noqa: E731
-        norm_best = (best("spark32") / (4 * best("spark8"))) / (
-            best("mp32") / (4 * best("mp8"))
-        )
         build = {}
         for cores in (8, 32):
             out = subprocess.run(
@@ -370,7 +367,6 @@ def main():
                         f"({KERNEL_TASKS_PER_CORE} tasks/core x {KERNEL_PER} rows)",
             "efficiency": med("spark_eff"),
             "efficiency_control_normalized": med("normalized_eff"),
-            "efficiency_normalized_best_of_slots": round(norm_best, 3),
             "mp_control_efficiency": med("mp_eff"),
             "reps": reps,
             "build_rows": build[8]["rows"],

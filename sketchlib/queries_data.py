@@ -457,6 +457,28 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk_indexed(spark, sig_path, qvec, k=10).select("vec_id")
 
 
+@register(
+    "stratified_sample_per_lang",
+    "SELECT doc_id, lang FROM documents "
+    "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang "
+    "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20",
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly ≤20 docs per language, chosen by hash
+    order (md5 of the id) — deterministic across engines, partitionings,
+    and runs, unlike rand()-based sampling. The balanced-per-class split a
+    training pipeline needs; one shuffle on the stratum key."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn <= 20")
+        .select("doc_id", "lang")
+    )
+
+
 # ----------------------------------------------- relational extensions
 
 _ASOF_ORACLE = """
