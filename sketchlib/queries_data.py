@@ -450,7 +450,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.similarity import lsh_cosine_topk_indexed, write_signature_table
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sig_path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_sig8"
+    sig_path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_sig8_v1"
     if not os.path.exists(os.path.join(sig_path, "_SUCCESS")):
         write_signature_table(emb, sig_path, n_planes=8, seed=42)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -618,7 +618,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.similarity import ivf_topk, write_ivf_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16"
+    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16_v1"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         write_ivf_index(emb, idx, k=16)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
