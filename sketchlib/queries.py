@@ -456,16 +456,21 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "GROUP BY c.c_mktsegment, o.o_orderpriority",
 )
 def segment_shipping_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three-way join (fact → dim → dim, dims broadcast) + filtered
-    aggregation — TPC-H-Q3-shaped relational breadth (SURVEY.md §2.6)."""
+    """Three-way join (fact chain shuffled, customer dim broadcast) +
+    filtered aggregation — TPC-H-Q3-shaped relational breadth (SURVEY.md
+    §2.6)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     d = F.col("l_discount").cast("decimal(18,4)")
     p = F.col("l_extendedprice").cast("decimal(18,4)")
+    # orders is fact-scale (grows with lineitem): no broadcast hint — the
+    # lineitem⋈orders join shuffles on the key (AQE converts to broadcast
+    # only when orders actually fits). Only the customer dim is hinted
+    # (VERDICT r2 #2; same shape as regional_supplier_volume's dims).
     return (
         li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(

@@ -84,6 +84,10 @@ def main():
 
     from sketchlib.dedup import embedding_lsh_pairs, minhash_lsh_pairs
 
+    # with auto-broadcast disabled, any BroadcastExchange still in the plan
+    # can only come from a FORCED hint — exactly what must not exist on a
+    # corpus-scale relation (VERDICT r2 #1/#2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     show(
         "minhash_lsh_pairs (candidate-only verification)",
         minhash_lsh_pairs(docs, threshold=0.5),
@@ -95,8 +99,32 @@ def main():
                 "no bigram-only shuffle (no all-pairs verifier)",
                 lambda p: not re.search(r"hashpartitioning\(bigram#\d+, \d+\)", p),
             ),
+            # no per-document relation (sizes, signatures, bigram sets) may
+            # carry a broadcast hint (VERDICT r2 #1)
+            ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
         ],
     )
+    from sketchlib.dedup import ngram_jaccard_pairs
+
+    show(
+        "ngram_jaccard_pairs (exact verifier, no forced broadcast)",
+        ngram_jaccard_pairs(docs, threshold=0.5),
+        checks=[("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p)],
+    )
+    show(
+        "segment_shipping_revenue (fact joins shuffle; only the dim is hinted)",
+        q.segment_shipping_revenue(spark, sf_dir),
+        checks=[
+            # exactly ONE forced broadcast: the customer dim. orders joins
+            # lineitem by shuffle (VERDICT r2 #2)
+            ("exactly one forced broadcast (customer)",
+             lambda p: p.count("BroadcastExchange") == 1),
+            ("customer is the broadcast side",
+             lambda p: "customer.parquet" in p.split("BroadcastExchange")[1][:3000]),
+            ("lineitem-orders is a shuffle join", lambda p: "SortMergeJoin" in p),
+        ],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     show(
