@@ -376,6 +376,7 @@ def embedding_lsh_pairs(
     bands: int = 4,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded sign-LSH pairwise near-dup — the scale path for embedding
     dedup (mirrors the MinHash-LSH shape: bucket → candidate self-join →
@@ -394,7 +395,16 @@ def embedding_lsh_pairs(
     if n_planes % bands:
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
-    dim = len(emb.select("embedding").first()[0])
+    if dim is None:
+        # inferring the dimension costs one extra job; an EMPTY input has no
+        # pairs — return the empty result instead of crashing (ADVICE r2)
+        rows = emb.select("embedding").head(1)
+        if not rows:
+            idt = emb.schema["vec_id"].dataType.simpleString()
+            return emb.sparkSession.createDataFrame(
+                [], f"vec_a {idt}, vec_b {idt}, cosine_e4 long"
+            )
+        dim = len(rows[0][0])
     planes = hyperplanes(dim, n_planes, seed)
     norm = _normed_embeddings(emb).withColumn("sig", sig_expr("embedding", planes)).cache()
     blocks = norm.select(

@@ -33,29 +33,35 @@ def asof_join(
     the same salting treatment as any keyed aggregation.
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate if not
-    (ambiguous ties have no canonical winner in any engine).
+    (ambiguous ties have no canonical winner in any engine). Right columns
+    MAY be NULL: the matched row's values are carried as one struct, so a
+    NULL field never stitches values from different right rows, and match
+    existence is the struct's (row-level) non-nullness.
     """
     lcols = left.columns
+    # the matched right row travels as ONE struct column: last(ignorenulls)
+    # over the struct skips left rows (struct NULL) but carries a matched
+    # right row atomically even when some of its FIELDS are NULL
+    rstruct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    rstruct_type = right.select(rstruct.alias("__r")).schema["__r"].dataType
     # src orders right rows AFTER a left row at equal timestamps when
     # strict (so an exact-tie right row is outside the left row's frame)
     # and BEFORE it otherwise
-    l = left.withColumn("__ts", F.col(left_ts)).withColumn(
-        "__src", F.lit(0 if strict else 1)
+    l = left.select(
+        F.col(key),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0 if strict else 1).alias("__src"),
+        *[F.col(c) for c in lcols if c != key],
+        F.lit(None).cast(rstruct_type).alias("__r"),
     )
-    for c in right_cols:
-        l = l.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(1 if strict else 0).alias("__src"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
+        rstruct.alias("__r"),
     )
-    for c in lcols:
-        if c != key:
-            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = l.select(key, "__ts", "__src", *[c for c in lcols if c != key], *[f"__r_{c}" for c in right_cols]).unionByName(
-        r.select(key, "__ts", "__src", *[c for c in lcols if c != key], *[f"__r_{c}" for c in right_cols])
-    )
+    u = l.unionByName(r)
     w = (
         Window.partitionBy(key)
         .orderBy("__ts", "__src")
@@ -66,13 +72,13 @@ def asof_join(
         "__ts",
         "__src",
         *[c for c in lcols if c != key],
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     is_left = F.col("__src") == (0 if strict else 1)
-    out = carried.filter(is_left & F.col(f"__r_{right_cols[0]}").isNotNull())
+    out = carried.filter(is_left & F.col("__r").isNotNull())
     return out.select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        *[F.col(f"__r.{c}").alias(c) for c in right_cols],
     )
 
 

@@ -79,10 +79,32 @@ def sig_expr(vec_col, planes: np.ndarray) -> F.Column:
 
 
 def query_signature(query_vec, planes: np.ndarray) -> int:
-    """The query vector's sign signature, computed driver-side in numpy
-    (identical float64 dot products to the Catalyst expression)."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    return int(sum((1 << p) for p, plane in enumerate(planes) if float(q @ plane) > 0))
+    """The query vector's sign signature, computed driver-side with the SAME
+    sequential float64 fold as :func:`sig_expr`'s Catalyst aggregate (and
+    the DuckDB oracle) — numpy's pairwise/BLAS summation order can flip a
+    near-zero dot's sign and probe different buckets (ADVICE r2)."""
+    sig = 0
+    for p, plane in enumerate(planes):
+        s = 0.0
+        for x, y in zip(query_vec, plane):
+            s += float(x) * float(y)
+        if s > 0:
+            sig |= 1 << p
+    return sig
+
+
+def infer_dim(emb: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (arrays don't carry a
+    length in the schema). Raises a clear error on an empty input instead
+    of a TypeError deep in a subscript (ADVICE r2); callers that know the
+    dimension should pass it explicitly and skip this extra job."""
+    rows = emb.select(vec_col).head(1)
+    if not rows:
+        raise ValueError(
+            f"cannot infer embedding dimension: input has no rows "
+            f"(pass dim= explicitly for column {vec_col!r})"
+        )
+    return len(rows[0][0])
 
 
 def with_lsh_signature(
@@ -91,11 +113,11 @@ def with_lsh_signature(
     seed: int = 42,
     vec_col: str = "embedding",
     sig_col: str = "sig",
+    dim: int | None = None,
 ) -> DataFrame:
     """Attach the bit-packed sign-LSH signature column (computed once;
     persist/write the result — do not recompute per query)."""
-    dim = len(emb.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
+    planes = hyperplanes(dim or infer_dim(emb, vec_col), n_planes, seed)
     return emb.withColumn(sig_col, sig_expr(vec_col, planes))
 
 

@@ -99,8 +99,19 @@ def incremental_cuckoo_sink(
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, epoch_path)
-        if commit is not None and commit["state"] != new_state:
-            shutil.rmtree(commit["state"], ignore_errors=True)  # GC old epoch
+        # GC: keep the current AND the immediately-previous epoch directory.
+        # read_state returns a LAZY DataFrame over the resolved directory —
+        # deleting the previous epoch at commit time would FileNotFound any
+        # reader that resolved before this commit and acts after it (ADVICE
+        # r2). One-epoch retention gives such readers a full micro-batch
+        # interval to act; readers held across MULTIPLE commits must
+        # materialize (collect/localCheckpoint) — see read_state.
+        keep = {os.path.basename(new_state)}
+        if commit is not None:
+            keep.add(os.path.basename(commit["state"]))
+        for d in os.listdir(state_dir):
+            if d.startswith("state_epoch") and d not in keep:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
     return sink
 
@@ -108,7 +119,13 @@ def incremental_cuckoo_sink(
 def read_state(spark, state_dir: str) -> DataFrame:
     """Read the current committed filter state of an
     :func:`incremental_cuckoo_sink` (resolves the state directory through
-    the atomic epoch.json pointer)."""
+    the atomic epoch.json pointer).
+
+    The returned DataFrame is LAZY over the resolved epoch directory. The
+    sink retains the previous epoch alongside the current one, so a reader
+    stays valid across ONE subsequent commit; to hold results across more
+    than one micro-batch, materialize them (``.collect()`` /
+    ``.localCheckpoint(eager=True)``) before the stream advances twice."""
     with open(os.path.join(state_dir, "epoch.json")) as f:
         return spark.read.parquet(json.load(f)["state"])
 

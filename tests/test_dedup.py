@@ -187,3 +187,14 @@ def test_embedding_lsh_pairs_recall(spark):
     assert len(lsh) / len(exact) >= 0.95  # recall
     for k, v in lsh.items():
         assert v == exact[k]  # identical exact re-scores
+
+
+def test_embedding_lsh_pairs_empty_input(spark):
+    """An empty corpus has no near-dup pairs — must return the empty result
+    (correct schema), not crash on dimension inference (ADVICE r2)."""
+    from sketchlib.dedup import embedding_lsh_pairs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = embedding_lsh_pairs(empty, threshold=0.5)
+    assert out.columns == ["vec_a", "vec_b", "cosine_e4"]
+    assert out.count() == 0

@@ -55,6 +55,31 @@ def test_asof_join_inclusive(spark, clicks_purchases):
     assert out == {1: 101, 2: 102, 3: 103}
 
 
+def test_asof_join_null_right_columns(spark):
+    """A matched right row must be carried ATOMICALLY even when some of its
+    columns are NULL: no stitching fields from different right rows, and a
+    NULL first right column must not drop the match (ADVICE r2)."""
+    clicks = spark.createDataFrame(
+        [(1, 7, _t(5)), (2, 7, _t(20)), (3, 8, _t(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    purch = spark.createDataFrame(
+        [
+            (100, None, 7, _t(4)),   # note NULL
+            (None, "x", 7, _t(15)),  # pid NULL — must not borrow pid=100 from t=4
+            (None, "y", 8, _t(3)),   # first right col NULL — match must survive
+        ],
+        "pid long, note string, user_id long, pts timestamp",
+    )
+    rows = {
+        r["event_id"]: (r["pid"], r["note"])
+        for r in asof_join(
+            clicks, purch, "user_id", "ts", "pts", ["pid", "note"], strict=True
+        ).collect()
+    }
+    assert rows == {1: (100, None), 2: (None, "x"), 3: (None, "y")}
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         (7, _t(0)),

@@ -272,3 +272,29 @@ def test_windowed_event_counts(spark, sf_dir):
         assert spark.sql("SELECT COUNT(*) c FROM win_counts").first()["c"] == batch.count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_sink_retains_previous_epoch_for_lazy_readers(spark, sf_dir):
+    """The sink keeps the immediately-previous epoch directory (ADVICE r2):
+    a lazy read_state resolved before a commit must still be collectable
+    after that commit; directories older than one epoch are GC'd."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    spec = CuckooSpec(name="retain", size=size_for(1000, 2), fpsize=2, num_shards=2)
+    key = F.col("doc_id").cast("string")
+    work = tempfile.mkdtemp(prefix="sketchlib-retain-")
+    state_dir = os.path.join(work, "state")
+    try:
+        sink = incremental_cuckoo_sink(spec, key, state_dir)
+        parts = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+        sink(parts[0], 0)
+        lazy = read_state(spark, state_dir)  # resolves epoch 0's directory
+        sink(parts[1], 1)  # commit epoch 1 — epoch 0 dir must survive
+        assert os.path.isdir(os.path.join(state_dir, "state_epoch0"))
+        n0 = ShardedCuckoo.from_df(lazy, spec).count()  # acts AFTER the commit
+        assert n0 == parts[0].count()
+        sink(parts[2], 2)  # commit epoch 2 — epoch 0 GC'd, epoch 1 retained
+        assert not os.path.isdir(os.path.join(state_dir, "state_epoch0"))
+        assert os.path.isdir(os.path.join(state_dir, "state_epoch1"))
+        assert ShardedCuckoo.from_df(read_state(spark, state_dir), spec).count() == docs.count()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
