@@ -4,7 +4,8 @@
 - word-bigram Jaccard: exact set similarity via explode + equi-join —
   the exact-SQL-expressible verifier used as the oracle for the
   approximate methods
-- MinHash + LSH: k permutation-free min-hashes via xxhash64(shingle, i),
+- MinHash + LSH: k permutation-free min-hashes via xxhash64 rehashes of
+  the shingle's base hash,
   banded into buckets; candidate pairs come from a bucket self-join and are
   verified with EXACT Jaccard — so with enough bands the output equals the
   exact-Jaccard pairs (tested), at a tiny fraction of the all-pairs cost
@@ -125,13 +126,21 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64) -> DataFrame:
     """MinHash signature per document: k independent min-hashes of the
-    word-bigram set via xxhash64(bigram, i) — pure built-ins, one shuffle
-    (the groupBy on doc_id)."""
+    word-bigram set — pure built-ins, one shuffle (the groupBy on doc_id).
+
+    The bigram string is hashed ONCE (``xxhash64(bigram)``); the k hash
+    functions are ``xxhash64(base XOR i)`` over that 8-byte base — one
+    long-hash each (a 2-arg xxhash64 would chain two), the XOR keeps the
+    per-function input injective in the base, and avalanche makes the k
+    streams independent. Several times cheaper than rehashing the string
+    k times (VERDICT r2 #5)."""
     sets = _bigram_sets(docs)
+    base = sets.select("doc_id", F.xxhash64("bigram").alias("__h"))
     mins = [
-        F.min(F.xxhash64("bigram", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("__h").bitwiseXOR(F.lit(i)))).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
-    return sets.groupBy("doc_id").agg(*mins)
+    return base.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -145,11 +154,14 @@ def minhash_lsh_pairs(
 
     Signatures are banded (bands × rows = num_hashes); docs sharing any band
     bucket become candidates (self-join on the band hash — the shuffle key
-    is an 8-byte hash, never text). Candidates are verified with EXACT
-    bigram Jaccard computed ONLY over the candidate pairs: each pair's two
-    bigram sets are joined back through the candidate list, so verification
-    cost scales with |candidates| × set size — never with the corpus's
-    all-pairs-sharing-a-bigram join (stop-word bigrams make that quadratic).
+    is an 8-byte hash, never text). Candidates are verified with exact
+    bigram Jaccard computed ONLY over the candidate pairs (exact up to
+    64-bit bigram-hash collisions, ≈2^-64 per in-document pair — the
+    string-exact ``ngram_jaccard_pairs`` is the oracle that would catch
+    one): each pair's two bigram-hash sets are joined back through the
+    candidate list, so verification cost scales with |candidates| × set
+    size — never with the corpus's all-pairs-sharing-a-bigram join
+    (stop-word bigrams make that quadratic).
     Precision is 1 (exact re-score); recall is the LSH s-curve 1-(1-t^r)^b
     (≈0.9997 at t=0.5 with 16 bands × 4 rows).
 
@@ -167,11 +179,41 @@ def minhash_lsh_pairs(
     if threshold <= 0:
         raise ValueError("threshold must be > 0")
     rows = num_hashes // bands
-    sets = _bigram_sets(docs).cache()  # reused: signatures + sizes + verify
+    # bigrams travel as 64-bit hashes from the explode onward: the cache,
+    # the signature aggregation, and the verify joins all handle 8-byte
+    # longs — the string never shuffles (at web scale that is the
+    # difference between shuffling ~8 B and ~40 B per shingle). Exactness
+    # caveat: two distinct bigrams colliding in 64 bits would perturb one
+    # intersection count by 1 (≈2^-64 per in-document pair); the oracle gate
+    # compares against the string-exact verifier, so any collision at gate
+    # scale would surface as a hash mismatch — none observed at any sf.
+    # There is NO global distinct: min() is duplicate-insensitive, and the
+    # places needing set semantics (sz, inter) use count_distinct — the
+    # distinct-agg rewrite dedups inside the aggregation it was going to
+    # run anyway, saving a full shuffle+materialization of the bigram set.
+    toks = F.split(F.expr(NORM_TEXT_SQL), " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(__toks) - 2), i -> concat(__toks[i], ' ', __toks[i+1]))"
+    )
+    hsets = (
+        docs.select("doc_id", toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.xxhash64("bigram").alias("__h"))
+        .cache()  # reused: signatures + verify
+    )
+    # one string hash per bigram, then k cheap long-rehashes (see
+    # minhash_signatures). The signature agg and the size agg stay SEPARATE:
+    # min() without a distinct agg keeps full map-side combine (the shuffle
+    # is one 65-long row per doc per partition), while folding
+    # count_distinct in would force the distinct-rewrite to shuffle every
+    # (doc, bigram-hash) pair ALONGSIDE 64 partial mins — ~50× the bytes.
     mins = [
-        F.min(F.xxhash64("bigram", F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("__h").bitwiseXOR(F.lit(i)))).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
-    sig = sets.groupBy("doc_id").agg(*mins)
+    sig = hsets.groupBy("doc_id").agg(*mins)
+    sizes = hsets.groupBy("doc_id").agg(F.countDistinct("__h").alias("sz"))
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)], F.lit(b)).alias(f"band{b}")
         for b in range(bands)
@@ -196,27 +238,30 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact Jaccard restricted to candidates: expand doc_a's bigrams through
-    # the candidate list, equi-join doc_b's on (doc_b, bigram) — intersection
-    # size per pair; set sizes join on the doc id. No bigram-only shuffle.
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), "bigram")
-    sb = sets.select(F.col("doc_id").alias("doc_b"), "bigram")
-    inter = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "bigram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    # exact Jaccard restricted to candidates: attach both set sizes to the
+    # (small) candidate list FIRST — per-document sizes join the pair list,
+    # NOT the other way around, and carry NO broadcast hint (they are
+    # O(corpus) rows — VERDICT r2 #1; AQE broadcasts the side that fits,
+    # which here is the candidate side). Then expand doc_a's bigram hashes
+    # through the candidates and equi-join doc_b's on (doc_b, __h):
+    # count_distinct gives the exact intersection size per pair (duplicate
+    # bigram occurrences collapse inside the agg). No bigram-only shuffle,
+    # and every join key is an 8-byte long.
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    # per-document sizes table: NO broadcast hint (it is O(corpus) rows —
-    # VERDICT r2 #1). The candidate-pair side is the guaranteed-small side;
-    # un-hinted joins let AQE broadcast whichever side actually fits.
+    sized = cands.join(za, "doc_a").join(zb, "doc_b")
+    sa = hsets.select(F.col("doc_id").alias("doc_a"), "__h")
+    sb = hsets.select(F.col("doc_id").alias("doc_b"), "__h")
+    inter = (
+        sized.join(sa, "doc_a")
+        .join(sb, ["doc_b", "__h"])
+        .groupBy("doc_a", "doc_b", "sza", "szb")
+        .agg(F.countDistinct("__h").alias("inter"))
+    )
     return (
-        inter.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        inter.withColumn(
+            "jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select(
             "doc_a",
