@@ -587,40 +587,74 @@ def vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs(spark, sf_dir), k=100)
 
 
-_IVF_ORACLE = """
-WITH cr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-            FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-c AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn FROM cr),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-asg AS (SELECT vec_id, v, cid,
+def _ivf_oracle(k: int = 16, lloyd_iters: int = 2, nprobe: int = 4, topk: int = 10) -> str:
+    """DuckDB re-derivation of the ENTIRE IVF pipeline including the Lloyd
+    refinement rounds: seeds = hash-ordered sample; each round assigns by
+    argmax dot, averages members with the SAME fixed-point integer sums as
+    lloyd_refine (floor(x * 2^20) — exact, order-independent), renormalizes,
+    and keeps the previous centroid for empty clusters. Algorithm-level
+    parity, zero literals."""
+    ctes = [
+        f"""cr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+cn0 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn FROM cr),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+    ]
+    for j in range(lloyd_iters):
+        ctes.append(f"""asg{j} AS (SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.v, c.cvn) DESC, c.cid) AS rn
+  FROM e CROSS JOIN cn{j} c) WHERE rn = 1),
+u{j} AS (SELECT cid, pos, SUM(CAST(FLOOR(x * 1048576.0) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM (SELECT cid, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM asg{j})
+  GROUP BY cid, pos),
+cv{j} AS (SELECT cid, list(CAST(s AS DOUBLE) / n / 1048576.0 ORDER BY pos) AS cv
+  FROM u{j} GROUP BY cid),
+cn{j + 1} AS (SELECT p.cid,
+  COALESCE(CASE WHEN list_dot_product(nw.cv, nw.cv) > 0
+                THEN list_transform(nw.cv, x -> x / sqrt(list_dot_product(nw.cv, nw.cv))) END,
+           p.cvn) AS cvn
+  FROM cn{j} p LEFT JOIN cv{j} nw USING (cid))""")
+    fin = f"cn{lloyd_iters}"
+    ctes.append(f"""asg AS (SELECT vec_id, v, cid,
         ROW_NUMBER() OVER (PARTITION BY vec_id
                            ORDER BY list_dot_product(v, cvn) DESC, cid) AS rn
-        FROM e CROSS JOIN c),
+        FROM e CROSS JOIN {fin}),
 a AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 pc AS (SELECT cid, ROW_NUMBER() OVER (
-         ORDER BY list_dot_product(cvn, (SELECT qv FROM q)) DESC, cid) AS qr FROM c)
-SELECT a.vec_id FROM a JOIN (SELECT cid FROM pc WHERE qr <= 4) p USING (cid), q
+         ORDER BY list_dot_product(cvn, (SELECT qv FROM q)) DESC, cid) AS qr FROM {fin})""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a.vec_id FROM a JOIN (SELECT cid FROM pc WHERE qr <= {nprobe}) p USING (cid), q
 ORDER BY ROUND(list_cosine_similarity(a.v, q.qv), 9) DESC, a.vec_id
-LIMIT 10
+LIMIT {topk}
 """
+    )
+
+
+_IVF_ORACLE = _ivf_oracle()
 
 
 @register("ann_ivf_topk", _IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: hash-sampled normalized centroids → max-dot assignment →
-    index partitioned by centroid → probe reads only the nprobe best
-    partitions → exact re-score. The oracle re-derives the ENTIRE pipeline
-    (centroid choice, assignment argmax, probe ranking, re-score) in
-    DuckDB SQL — algorithm-level parity with zero literals."""
+    """IVF ANN: hash-sampled seeds refined by 2 in-plan Lloyd rounds
+    (fixed-point-exact means) → max-dot assignment → index partitioned by
+    centroid → probe reads only the nprobe best partitions → exact
+    re-score. The oracle re-derives the ENTIRE pipeline (seeding, Lloyd
+    rounds, assignment argmax, probe ranking, re-score) in DuckDB SQL —
+    algorithm-level parity with zero literals."""
     import os
 
     from sketchlib.similarity import ivf_topk, write_ivf_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16_v1"
+    # _l2 = 2 Lloyd rounds; bump the version token on ANY centroid-rule
+    # change (CLAUDE.md invariant — a stale cache silently corrupts the gate)
+    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16_l2_v1"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        write_ivf_index(emb, idx, k=16)
+        write_ivf_index(emb, idx, k=16, lloyd_iters=2)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return ivf_topk(spark, idx, qvec, k=10, nprobe=4).select("vec_id")
 

@@ -212,13 +212,88 @@ def ivf_assign(
     )
 
 
+_QSCALE = float(1 << 20)  # fixed-point scale for order-independent mean sums
+
+
+def lloyd_refine(
+    emb: DataFrame,
+    cents: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refine IVF centroids with ``iters`` Lloyd (k-means) rounds, entirely
+    in-plan: broadcast-assign each vector to its max-dot centroid, average
+    the members per centroid, renormalize. Returns (cid, cvn) like
+    :func:`ivf_centroids`.
+
+    Deterministic and ENGINE-PORTABLE arithmetic: each member component is
+    quantized to fixed point (``floor(x * 2^20)`` — the scale is a power of
+    two, so the multiply is exact) and the mean is an INTEGER sum divided
+    back out. Integer sums are order-independent, so the refined centroids
+    are bit-identical regardless of partitioning — and re-derivable in
+    portable SQL (the ann_ivf_topk oracle replays the same rounds in
+    DuckDB). A float64 mean would depend on summation order and could flip
+    downstream argmax assignments between engines.
+
+    Empty clusters keep their previous centroid (standard Lloyd fallback,
+    mirrored in the oracle); a degenerate zero mean would too.
+    """
+    from pyspark.sql import Window as W
+
+    for _ in range(iters):
+        v = as_double(vec_col)
+        scored = emb.crossJoin(F.broadcast(cents)).withColumn("__d", _dot(v, F.col("cvn")))
+        w = W.partitionBy(id_col).orderBy(F.desc("__d"), "cid")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select(F.col("cid").alias("__c"), v.alias("__v"))
+        )
+        comp = (
+            assigned.select("__c", F.posexplode("__v").alias("pos", "x"))
+            .select("__c", "pos", F.floor(F.col("x") * F.lit(_QSCALE)).cast("long").alias("q"))
+            .groupBy("__c", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("xc", F.col("s").cast("double") / F.col("n") / F.lit(_QSCALE))
+        )
+        arr = (
+            comp.groupBy("__c")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "xc"))).alias("ps"))
+            .select(
+                F.col("__c").alias("cid"),
+                F.expr("transform(ps, p -> p.xc)").alias("cv"),
+            )
+        )
+        n2 = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        newc = arr.select(
+            "cid",
+            F.when(n2 > 0, F.transform("cv", lambda x: x / F.sqrt(n2))).alias("cvn"),
+        )
+        cents = (
+            cents.alias("p")
+            .join(newc.alias("nw"), "cid", "left")
+            .select("cid", F.coalesce("nw.cvn", "p.cvn").alias("cvn"))
+        )
+    return cents
+
+
 def write_ivf_index(
-    emb: DataFrame, path: str, k: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    path: str,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
 ) -> None:
     """Materialize the IVF index: rows partitioned by assigned centroid
     (probes prune to ``nprobe`` directories) + the centroid table beside it.
-    Written once, probed many times."""
+    Written once, probed many times. Seeds are the deterministic hash-
+    ordered sample (:func:`ivf_centroids`) refined by ``lloyd_iters``
+    in-plan k-means rounds (:func:`lloyd_refine`; 0 = raw seeds)."""
     cents = ivf_centroids(emb, k, id_col, vec_col)
+    if lloyd_iters:
+        cents = lloyd_refine(emb, cents, lloyd_iters, id_col, vec_col)
     cents.write.mode("overwrite").parquet(path + "_centroids")
     ivf_assign(emb, cents, id_col, vec_col).write.mode("overwrite").partitionBy(
         "centroid"

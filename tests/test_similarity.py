@@ -76,22 +76,41 @@ def test_ivf_topk_recall_and_pruning(spark, emb, emb_np, tmp_path):
 
     ids, mat = emb_np
     idx = str(tmp_path / "ivf")
-    write_ivf_index(emb, idx, k=16)
+    write_ivf_index(emb, idx, k=16)  # default: 2 Lloyd rounds
+    idx0 = str(tmp_path / "ivf_raw")
+    write_ivf_index(emb, idx0, k=16, lloyd_iters=0)  # raw hash-sample seeds
     stored = spark.read.parquet(idx)
     assert stored.count() == len(ids)
     assert stored.select("centroid").distinct().count() <= 16
-    recalls = []
-    for qi in (0, 11, 42):
+    recalls, recalls0 = [], []
+    for qi in (0, 11, 42, 7, 23):
         q = mat[qi].tolist()
         exact = _exact_topk(ids, mat, q, 10)
         got = {r["vec_id"] for r in ivf_topk(spark, idx, q, k=10, nprobe=4).collect()}
+        got0 = {r["vec_id"] for r in ivf_topk(spark, idx0, q, k=10, nprobe=4).collect()}
         assert got <= set(ids.tolist())
         recalls.append(len(got & exact) / 10)
+        recalls0.append(len(got0 & exact) / 10)
     assert np.mean(recalls) >= 0.5, recalls
+    # Lloyd refinement must not lose recall vs the raw sampled seeds
+    # (VERDICT r2 #7: refined quantizer ≥ current at nprobe=4)
+    assert np.mean(recalls) >= np.mean(recalls0), (recalls, recalls0)
     # probing ALL centroids must recover the exact top-k
     q = mat[0].tolist()
     full = {r["vec_id"] for r in ivf_topk(spark, idx, q, k=10, nprobe=16).collect()}
     assert full == _exact_topk(ids, mat, q, 10)
+
+
+def test_lloyd_refine_deterministic_across_partitioning(spark, emb):
+    """The fixed-point integer-mean arithmetic makes refined centroids
+    BIT-identical under any input partitioning (a float64 mean would not
+    be — summation order would differ)."""
+    from sketchlib.similarity import ivf_centroids, lloyd_refine
+
+    seeds = ivf_centroids(emb, k=8)
+    a = lloyd_refine(emb, seeds, iters=2).orderBy("cid").collect()
+    b = lloyd_refine(emb.repartition(13), seeds, iters=2).orderBy("cid").collect()
+    assert [(r["cid"], r["cvn"]) for r in a] == [(r["cid"], r["cvn"]) for r in b]
 
 
 def test_indexed_probe_equals_adhoc(spark, emb, emb_np, tmp_path):
