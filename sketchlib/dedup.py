@@ -362,27 +362,97 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+def _star_components(pairs: DataFrame, a_col: str, b_col: str, max_iters: int) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+
+    Each round is two grouped min-aggregations + joins over the CURRENT
+    edge set; the edge set contracts toward a star forest rooted at each
+    component's minimum node in O(log² n) rounds — independent of the
+    component DIAMETER, which is what makes it the escalation path for
+    adversarial long-chain graphs where min-label propagation
+    (O(diameter) rounds) would not converge.
+
+    Edge set is kept canonical: (a, b) with a < b, distinct.
+    """
+    e = (
+        pairs.select(F.col(a_col), F.col(b_col))
+        .filter(F.col(a_col) != F.col(b_col))
+        .select(
+            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # large-star: every node u links its LARGER neighbors to
+        # m = min(N(u) ∪ {u}); m ≤ u < v so the emitted pair is (m, v)
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m_lg = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        lg = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_lg, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        # small-star: every node u links its SMALLER neighbors (and itself)
+        # to m = min of those; with canonical pairs u = b, neighbors = a
+        m_sm = lg.groupBy("b").agg(F.min("a").alias("m"))
+        sm = (
+            lg.join(m_sm, "b")
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .union(m_sm.select(F.col("m").alias("a"), F.col("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the round left the edge set unchanged → star forest
+        if sm.count() == e.count() and sm.exceptAll(e).limit(1).count() == 0:
+            e = sm
+            break
+        e = sm
+    else:
+        raise RuntimeError(f"star algorithm did not converge in {max_iters} rounds")
+    # star forest: every non-root appears once as b with a = component min
+    roots = e.select("a").distinct().join(
+        e.select(F.col("b").alias("a")).distinct(), "a", "left_anti"
+    )
+    return e.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_id")).union(
+        roots.select(F.col("a").alias("doc_id"), F.col("a").alias("cluster_id"))
+    )
+
+
 def near_dup_clusters(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iters: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id) with
     cluster_id = min doc_id of the component. The canonical-survivor stage
     of a dedup pipeline: keep rows where doc_id == cluster_id, drop the
     rest (or map every doc to its canonical representative).
 
-    Implementation: iterative min-label propagation — each round every node
-    adopts the minimum label among itself and its neighbors (one join + one
-    min-aggregation per round, lineage cut by localCheckpoint), converging
-    in O(component diameter) rounds. Near-dup components are shallow (dups
-    of a common source), so the loop is short in practice; for adversarial
-    long-chain graphs at 10^12 scale switch to the two-phase
-    small-star/large-star algorithm (Kiveris et al. 2014), which this
-    per-round shape extends to directly. Raises if ``max_iters`` rounds do
-    not converge rather than returning a partially-propagated labeling.
+    ``algorithm="propagation"`` (default): iterative min-label propagation —
+    each round every node adopts the minimum label among itself and its
+    neighbors (one join + one min-aggregation per round, lineage cut by
+    localCheckpoint), converging in O(component diameter) rounds. Near-dup
+    components are shallow (dups of a common source), so the loop is short
+    in practice. Raises if ``max_iters`` rounds do not converge rather than
+    returning a partially-propagated labeling.
+
+    ``algorithm="star"``: the two-phase small-star/large-star algorithm
+    (Kiveris et al. 2014) — O(log² n) rounds regardless of component
+    diameter, the escalation for adversarial long-chain graphs at 10^12
+    scale (see :func:`_star_components`). Same output on any input.
     """
+    if algorithm == "star":
+        return _star_components(pairs, a_col, b_col, max_iters)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

@@ -198,3 +198,60 @@ def test_embedding_lsh_pairs_empty_input(spark):
     out = embedding_lsh_pairs(empty, threshold=0.5)
     assert out.columns == ["vec_a", "vec_b", "cosine_e4"]
     assert out.count() == 0
+
+
+def test_star_components_long_chain(spark):
+    """A 201-node path graph (diameter 200): min-label propagation cannot
+    finish in 25 rounds (it moves the label one hop per round and raises
+    rather than mislabel), while the star algorithm converges in O(log² n)
+    rounds and labels the whole chain with its minimum node."""
+    from sketchlib.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs, algorithm="star").collect()
+    }
+    assert got == {i: 0 for i in range(201)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_iters=25).collect()
+
+
+def test_star_equals_propagation_random_graphs(spark):
+    """Both algorithms must produce identical labelings on random graphs
+    (multiple components, varied shapes)."""
+    import random
+
+    from sketchlib.dedup import near_dup_clusters
+
+    rng = random.Random(5)
+    edges = set()
+    # several islands: cliques, chains, stars, singleton pairs
+    for base in (0, 100, 200, 300):
+        nodes = [base + i for i in range(rng.randint(2, 20))]
+        for _ in range(len(nodes) * 2):
+            u, v = rng.sample(nodes, 2)
+            edges.add((min(u, v), max(u, v)))
+    pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+    prop = {
+        (r["doc_id"], r["cluster_id"])
+        for r in near_dup_clusters(pairs, algorithm="propagation").collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in near_dup_clusters(pairs, algorithm="star").collect()
+    }
+    assert prop == star
+    assert near_dup_clusters(pairs, algorithm="star").count() == len(
+        {n for e in edges for n in e}
+    )
+
+
+def test_near_dup_clusters_rejects_unknown_algorithm(spark):
+    from sketchlib.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        near_dup_clusters(pairs, algorithm="galaxy")
