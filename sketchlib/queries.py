@@ -211,6 +211,24 @@ def cf_probe_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cf_probe_auto_lowlimit",
+    "SELECT doc_id FROM documents",
+)
+def cf_probe_auto_lowlimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF.CHECK via probe_auto with a deliberately tiny broadcast budget
+    (1 byte), forcing the strategy chooser down the co-grouped branch —
+    pins the auto-dispatch itself in the gate, not just the two probe
+    implementations it chooses between (VERDICT r2 #10)."""
+    from sketchlib.spark.cuckoo import probe_auto
+
+    docs, spec, merged = _build_docs_filter(spark, sf_dir, fpsize=2)
+    out = probe_auto(
+        merged, docs.select("doc_id"), spec, key=_doc_key(), broadcast_limit_bytes=1
+    )
+    return out.filter(F.col("member")).select("doc_id")
+
+
+@register(
     "cf_flags_after_misuse",
     "SELECT TRUE AS broken_after_bad_delete, TRUE AS toofull_after_overfill, "
     "TRUE AS fixed_after_remove",
