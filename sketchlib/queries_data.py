@@ -522,6 +522,57 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RANGE_ORACLE = """
+WITH clicks AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+                FROM events WHERE event_type = 'click'),
+w AS (SELECT event_id AS purchase_event_id, user_id,
+             CAST(epoch_us(ts) AS BIGINT) - 1800000000 AS s,
+             CAST(epoch_us(ts) AS BIGINT) + 1800000000 AS e
+      FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, w.purchase_event_id
+FROM clicks c JOIN w ON c.user_id = w.user_id AND c.t BETWEEN w.s AND w.e
+"""
+
+
+@register("range_join_promo_windows", _RANGE_ORACLE)
+def range_join_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every click inside a ±30-minute window around a
+    purchase by the same user. Spark side is the bucketized range join
+    (time axis coarsened to bucket_width, intervals explode to covered
+    buckets, plain equi-join on (key, bucket), exact BETWEEN filter — no
+    quadratic key-group theta-join); oracle is DuckDB's native BETWEEN
+    join — two independent implementations."""
+    from sketchlib.relops import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    half = 1_800_000_000  # 30 min in µs
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    wins = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - half).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + half).alias("e"),
+    )
+    out = range_join(clicks, wins, key="user_id", left_ts="t",
+                     right_start="s", right_end="e", bucket_width=half)
+    return out.select("event_id", "user_id", "purchase_event_id")
+
+
+@register("dedup_clusters_star", _CLUSTER_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same survivor-selection result as dedup_clusters, computed by the
+    small-star/large-star algorithm (O(log² n) rounds, diameter-
+    independent — the 10^12-scale escalation) against the SAME recursive-
+    CTE reachability oracle: pins the star implementation in the gate."""
+    from sketchlib.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    return near_dup_clusters(
+        ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5), algorithm="star"
+    )
+
+
 _SESSION_ORACLE = """
 WITH x AS (
   SELECT user_id, ts,

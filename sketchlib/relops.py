@@ -109,6 +109,56 @@ def sessionize(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval (range) join: all (left, right) pairs with matching ``key``
+    and ``right_start <= left_ts <= right_end`` (inclusive ends; the three
+    columns must be integral — epoch micros for timestamps).
+
+    Distributed shape: a naive key-equi-join + range filter is quadratic
+    within hot keys (and OSS Spark has no range-join optimization), so the
+    time axis is BUCKETIZED: each interval explodes to the coarse buckets
+    it covers (``sequence(start div w, end div w)``), each left row lands
+    in exactly ONE bucket, and the join is a plain equi-join on
+    (key, bucket) followed by the exact BETWEEN filter. No pair can be
+    emitted twice (the left row's bucket is unique), so no dedup pass.
+    Cost: interval replication ∝ span / bucket_width — pick the width near
+    the TYPICAL interval span so most intervals land in 1-2 buckets.
+
+    Intervals with ``right_end < right_start`` match nothing and are
+    dropped before the explode.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    bw = int(bucket_width)
+
+    # exact integer FLOOR division (div truncates toward zero; correct the
+    # negative-remainder case) — float division would lose ulps at
+    # epoch-microsecond magnitudes (> 2^53) and misplace boundary rows
+    def _bkt(colname: str) -> F.Column:
+        return F.expr(
+            f"(CAST({colname} AS BIGINT) div {bw}) - "
+            f"(CASE WHEN CAST({colname} AS BIGINT) % {bw} < 0 THEN 1 ELSE 0 END)"
+        )
+
+    lb = left.withColumn("__bkt", _bkt(left_ts))
+    rb = right.filter(F.col(right_end) >= F.col(right_start)).withColumn(
+        "__bkt", F.explode(F.sequence(_bkt(right_start), _bkt(right_end)))
+    )
+    return (
+        lb.join(rb, [key, "__bkt"])
+        .filter(F.col(left_ts).between(F.col(right_start), F.col(right_end)))
+        .drop("__bkt")
+    )
+
+
 def sample_by_hash(df: DataFrame, key_sql: str, threshold_hex: str) -> DataFrame:
     """Deterministic, engine-portable sample: keep rows whose ``md5(key)``
     hex digest sorts below ``threshold_hex`` (e.g. '28' keeps ≈ 0x28/0x100

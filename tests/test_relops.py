@@ -189,3 +189,49 @@ def test_sample_by_hash_deterministic_and_nested(spark, sf_dir):
     assert half <= a  # smaller threshold nests inside the larger split
     n = docs.count()
     assert 0.10 * n <= len(a) <= 0.22 * n  # ≈15.6%
+
+
+def test_range_join_differential_vs_naive(spark):
+    """Randomized differential: the bucketized range join must equal the
+    naive equi-join + BETWEEN filter — including negative timestamps,
+    inclusive boundaries, multi-bucket spans, and empty intervals."""
+    import numpy as np
+
+    from sketchlib.relops import range_join
+
+    rng = np.random.default_rng(3)
+    lrows = [
+        (int(i), int(k), int(t))
+        for i, (k, t) in enumerate(
+            zip(rng.integers(0, 9, 400), rng.integers(-5000, 5000, 400))
+        )
+    ]
+    rrows = []
+    for j in range(150):
+        k = int(rng.integers(0, 9))
+        s = int(rng.integers(-5200, 5200))
+        # mix of narrow, wide, degenerate (point) and INVALID (e < s) spans
+        e = s + int(rng.integers(-50, 900))
+        rrows.append((1000 + j, k, s, e))
+    left = spark.createDataFrame(lrows, "lid long, k long, t long")
+    right = spark.createDataFrame(rrows, "rid long, k long, s long, e long")
+    for width in (64, 1000, 7):
+        got = {
+            (r["lid"], r["rid"])
+            for r in range_join(left, right, "k", "t", "s", "e", width).collect()
+        }
+        ref = {
+            (l[0], r[0])
+            for l in lrows
+            for r in rrows
+            if l[1] == r[1] and r[2] <= l[2] <= r[3]
+        }
+        assert got == ref, f"width={width}: {len(got)} vs {len(ref)}"
+
+
+def test_range_join_rejects_bad_width(spark):
+    from sketchlib.relops import range_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, t long")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_join(df, df, "k", "t", "t", "t", 0)

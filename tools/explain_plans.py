@@ -176,6 +176,26 @@ def main():
             ("no cartesian/nested loop", lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
     )
+    from sketchlib.relops import range_join
+
+    wins = purch.select(
+        F.col("pid"), "user_id",
+        (F.unix_micros("pts") - 600_000_000).alias("s"),
+        (F.unix_micros("pts") + 600_000_000).alias("e"),
+    )
+    show(
+        "range_join (bucketized equi-join, never a theta/nested-loop join)",
+        range_join(
+            clicks.select("event_id", "user_id", F.unix_micros("ts").alias("t")),
+            wins, "user_id", "t", "s", "e", 600_000_000,
+        ),
+        checks=[
+            ("equi-join on (key, bucket) — a hash/merge join exists",
+             lambda p: "SortMergeJoin" in p or "HashJoin" in p),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ],
+    )
     show(
         "deterministic sample (predicate pushed into the scan stage)",
         sample_by_hash(docs.select("doc_id"), "CAST(doc_id AS STRING)", "28"),
