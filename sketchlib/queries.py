@@ -550,13 +550,15 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "      * 100 AS DOUBLE), 6) AS promo_pct",
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q14-shaped promo share (part dim broadcast, conditional
-    aggregation, decimal-exact sums ratioed in double)."""
+    """TPC-H-Q14-shaped promo share (conditional aggregation, decimal-exact
+    sums ratioed in double). part grows with the corpus (like orders —
+    VERDICT r2 #2's reasoning), so it carries NO forced broadcast hint:
+    AQE broadcasts it only when it actually fits."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     row = j.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
         .cast("double").alias("promo"),
