@@ -710,6 +710,58 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, idx, qvec, k=10, nprobe=4).select("vec_id")
 
 
+# ------------------------------------------------- sources/sinks beyond parquet
+
+
+@register(
+    "sink_roundtrip_jsonl",
+    "SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc FROM documents GROUP BY lang",
+)
+def sink_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → source roundtrip: write the docs' id/lang columns as
+    line-delimited JSON, read them back with an explicit schema, aggregate.
+    The oracle aggregates the ORIGINAL parquet — any loss/corruption in
+    the JSON writer/reader surfaces as a gate mismatch. (SURVEY §2.6
+    sources/sinks beyond parquet.)"""
+    import os
+
+    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/roundtrip_jsonl"
+    _docs(spark, sf_dir).select("doc_id", "lang").write.mode("overwrite").json(path)
+    back = spark.read.schema("doc_id bigint, lang string").json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@register(
+    "sink_roundtrip_csv",
+    "SELECT event_type, COUNT(*) AS n, SUM(user_id) AS uid_sum, "
+    "SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS value_e3_sum "
+    "FROM events GROUP BY event_type",
+)
+def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → source roundtrip (header + explicit read schema): doubles
+    survive because Spark writes round-trippable shortest representations;
+    the gate compares integerized per-row values aggregated exactly, vs
+    the oracle over the original parquet."""
+    import os
+
+    from sketchlib.queries import _events
+
+    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/roundtrip_csv"
+    _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value").write.mode(
+        "overwrite"
+    ).option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(
+        "event_id bigint, event_type string, user_id bigint, value double"
+    ).csv(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("uid_sum"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_e3_sum"),
+    )
+
+
 # --------------------------------------------------------- multimodal
 
 
