@@ -278,6 +278,121 @@ def lloyd_refine(
     return cents
 
 
+def kmeans_parallel_seeds(
+    emb: DataFrame,
+    k: int,
+    rounds: int = 2,
+    oversample: int | None = None,
+    seed: int = 42,
+    lloyd_rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k-means|| seeding (Bahmani et al. 2012, spherical variant) — the
+    quality upgrade over the hash-ordered sample for larger k / skewed
+    corpora, fully DETERMINISTIC:
+
+    - each round scores every vector's cost (1 − max dot against the
+      current candidate set, candidates broadcast) and keeps vectors whose
+      md5-derived 52-bit uniform u(id, round) falls below
+      ``oversample · cost / total_cost`` — costs are integerized
+      (floor(cost·2^20)) so the total is an exact integer sum and the
+      sampling decision is identical under any partitioning or engine;
+    - the ~``rounds · oversample`` candidates (small by construction) are
+      weighted by their nearest-assignment counts and reduced driver-side
+      in numpy: weighted farthest-point init + ``lloyd_rounds`` weighted
+      Lloyd steps (all argmax/argmin ties broken by candidate order —
+      deterministic).
+
+    Returns (cid, cvn) like :func:`ivf_centroids` (cid = 0..k-1), ready
+    for :func:`lloyd_refine` / :func:`write_ivf_index` via ``cents=``.
+    Only the BOUNDED candidate set is ever collected.
+    """
+    import numpy as np
+
+    l = oversample or 2 * k
+    v = as_double(vec_col)
+    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    norm = emb.select(
+        F.col(id_col).alias("__id"), F.transform(v, lambda x: x / nrm).alias("__nv")
+    ).cache()
+    first = norm.orderBy(F.md5(F.col("__id").cast("string")), "__id").limit(1).collect()
+    if not first:
+        raise ValueError("cannot seed from an empty input")
+    cands = [(int(first[0]["__id"]), list(first[0]["__nv"]))]
+
+    def _cost_q(cand_df):
+        # integerized spherical cost: floor((1 - max dot) * 2^20) ≥ 0
+        scored = norm.crossJoin(F.broadcast(cand_df)).groupBy("__id").agg(
+            F.max(_dot(F.col("__nv"), F.col("cv"))).alias("__best"),
+            F.first("__nv").alias("__nv"),
+        )
+        return scored.withColumn(
+            "__cq", F.floor((F.lit(1.0) - F.col("__best")) * F.lit(float(1 << 20))).cast("long")
+        )
+
+    spark = emb.sparkSession
+    for r in range(rounds):
+        cdf = spark.createDataFrame([(c[1],) for c in cands], "cv array<double>")
+        scored = _cost_q(cdf).cache()
+        total = scored.agg(F.sum("__cq")).first()[0] or 0
+        if total == 0:  # every point coincides with a candidate
+            break
+        # u(id, round) as an exact 52-bit fraction from md5 — deterministic
+        # under any partitioning; compare u < l·cost/total in double over
+        # EXACT integer inputs (same result everywhere)
+        u = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("__id"), F.lit(r), F.lit(seed))), 1, 13),
+            16, 10,
+        ).cast("long") / F.lit(float(1 << 52))
+        picked = scored.filter(
+            u < F.lit(float(l)) * F.col("__cq") / F.lit(float(total))
+        ).select("__id", "__nv").collect()
+        scored.unpersist()
+        have = {c[0] for c in cands}
+        for row in sorted(picked, key=lambda x: x["__id"]):
+            if row["__id"] not in have:
+                cands.append((int(row["__id"]), list(row["__nv"])))
+    # weights: how many corpus points are nearest to each candidate
+    cdf = spark.createDataFrame(
+        [(i, c[1]) for i, c in enumerate(cands)], "ci long, cv array<double>"
+    )
+    from pyspark.sql import Window as W
+
+    nearest = (
+        norm.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", _dot(F.col("__nv"), F.col("cv")))
+        .withColumn("__rn", F.row_number().over(W.partitionBy("__id").orderBy(F.desc("__d"), "ci")))
+        .filter("__rn = 1")
+        .groupBy("ci")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wmap = {r["ci"]: r["w"] for r in nearest.collect()}
+    C = np.array([c[1] for c in cands], dtype=np.float64)
+    wts = np.array([wmap.get(i, 0) for i in range(len(cands))], dtype=np.float64)
+    # driver-side deterministic reduction of the small weighted candidate set
+    chosen = [0]  # candidate 0 is the deterministic initial seed
+    for _ in range(1, min(k, len(cands))):
+        best = C[chosen] @ C.T  # (chosen, n)
+        cost = (1.0 - best.max(axis=0)) * wts
+        cost[chosen] = -1.0
+        chosen.append(int(np.argmax(cost)))  # first max wins: deterministic
+    seeds = C[chosen].copy()
+    for _ in range(lloyd_rounds):
+        a = np.argmax(seeds @ C.T, axis=0)  # assign candidates to seeds
+        for j in range(len(seeds)):
+            m = a == j
+            if wts[m].sum() > 0:
+                s = (C[m] * wts[m, None]).sum(axis=0)
+                n2 = float(s @ s)
+                if n2 > 0:
+                    seeds[j] = s / np.sqrt(n2)
+    return spark.createDataFrame(
+        [(int(j), [float(x) for x in seeds[j]]) for j in range(len(seeds))],
+        "cid long, cvn array<double>",
+    )
+
+
 def write_ivf_index(
     emb: DataFrame,
     path: str,
@@ -285,13 +400,17 @@ def write_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
+    cents: DataFrame | None = None,
 ) -> None:
     """Materialize the IVF index: rows partitioned by assigned centroid
     (probes prune to ``nprobe`` directories) + the centroid table beside it.
     Written once, probed many times. Seeds are the deterministic hash-
-    ordered sample (:func:`ivf_centroids`) refined by ``lloyd_iters``
-    in-plan k-means rounds (:func:`lloyd_refine`; 0 = raw seeds)."""
-    cents = ivf_centroids(emb, k, id_col, vec_col)
+    ordered sample (:func:`ivf_centroids`) — or pass ``cents=`` (e.g.
+    :func:`kmeans_parallel_seeds` for larger k / skewed corpora) — refined
+    by ``lloyd_iters`` in-plan k-means rounds (:func:`lloyd_refine`;
+    0 = raw seeds)."""
+    if cents is None:
+        cents = ivf_centroids(emb, k, id_col, vec_col)
     if lloyd_iters:
         cents = lloyd_refine(emb, cents, lloyd_iters, id_col, vec_col)
     cents.write.mode("overwrite").parquet(path + "_centroids")

@@ -173,3 +173,40 @@ def test_lloyd_improves_recall_on_skewed_corpus(spark, tmp_path):
         rec0.append(len(g0 & exact) / 10)
     assert np.mean(rec2) >= np.mean(rec0), (rec2, rec0)
     assert np.mean(rec2) >= 0.7, rec2
+
+
+def test_kmeans_parallel_seeds_deterministic_and_better_on_skew(spark, tmp_path):
+    """k-means|| seeding: (a) bit-deterministic under repartitioning (the
+    integerized costs + md5 thresholds make the sampling decisions exact),
+    (b) with Lloyd refinement it matches or beats hash-sample seeding on a
+    skewed corpus at larger k."""
+    from sketchlib.similarity import ivf_topk, kmeans_parallel_seeds, write_ivf_index
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((12, 24)) * 5
+    sizes = [500] + [25] * 11
+    rows, vid = [], 0
+    for c, n in zip(centers, sizes):
+        for v in c + rng.standard_normal((n, 24)):
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    s1 = kmeans_parallel_seeds(emb, k=12).orderBy("cid").collect()
+    s2 = kmeans_parallel_seeds(emb.repartition(11), k=12).orderBy("cid").collect()
+    assert [(r["cid"], r["cvn"]) for r in s1] == [(r["cid"], r["cvn"]) for r in s2]
+
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+    ikm = str(tmp_path / "km")
+    ihs = str(tmp_path / "hs")
+    write_ivf_index(emb, ikm, k=12, cents=kmeans_parallel_seeds(emb, k=12))
+    write_ivf_index(emb, ihs, k=12)
+    rkm, rhs = [], []
+    for qi in (500, 540, 590, 640, 690, 740, 0, 250):
+        q = mat[qi]
+        exact = _exact_topk(ids, mat, q.tolist(), 10)
+        gk = {r["vec_id"] for r in ivf_topk(spark, ikm, q.tolist(), k=10, nprobe=4).collect()}
+        gh = {r["vec_id"] for r in ivf_topk(spark, ihs, q.tolist(), k=10, nprobe=4).collect()}
+        rkm.append(len(gk & exact) / 10)
+        rhs.append(len(gh & exact) / 10)
+    assert np.mean(rkm) >= np.mean(rhs), (rkm, rhs)
