@@ -230,9 +230,19 @@ def main():
 
     # untimed warm-up: the first Spark job of a fresh JVM pays codegen +
     # python-worker startup (~9s) that has nothing to do with the operator;
-    # VERDICT r1 flagged the headline absorbing it
+    # VERDICT r1 flagged the headline absorbing it. The partials/tree-merge
+    # plan is a different codegen shape — warm it too (small input).
     build_pages_filter(spark, fpsize=2)
-    log("  (warm-up build done)")
+    from sketchlib.kernels.cuckoo import size_for as _sf
+    from sketchlib.spark.cuckoo import CuckooSpec as _CS
+    from sketchlib.spark.cuckoo import ShardedCuckoo as _SC
+    from sketchlib.spark.cuckoo import build_filter as _bf
+    _wspec = _CS("warm-partials", _sf(60_000, 2), 2, num_shards=8)
+    _SC.from_df(
+        _bf(spark.read.parquet(PAGES_PATH).limit(50_000), _wspec, key=F.col("url"), fanin=256),
+        _wspec,
+    ).count()
+    log("  (warm-up builds done)")
 
     # headline: build+merge at FP16 over the pages table
     pages, spec16, merged16, sc16 = timed(

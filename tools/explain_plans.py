@@ -124,6 +124,35 @@ def main():
             ("lineitem-orders is a shuffle join", lambda p: "SortMergeJoin" in p),
         ],
     )
+    show(
+        "regional_supplier_volume (Q5: fact chain shuffles, only true dims hinted)",
+        q.regional_supplier_volume(spark, sf_dir),
+        checks=[
+            # exactly the 3 bounded dims (supplier/nation/region) are hinted
+            ("exactly three forced broadcasts",
+             lambda p: p.count("BroadcastExchange") == 3),
+            ("customer/orders/lineitem never broadcast",
+             lambda p: not any(t in seg for t in ("customer.parquet", "orders.parquet", "lineitem.parquet")
+                               for seg in p.split("BroadcastExchange")[1:])),
+        ],
+    )
+    show(
+        "promo_revenue_share (Q14: part un-hinted — AQE decides)",
+        q.promo_revenue_share(spark, sf_dir),
+        checks=[("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p)],
+    )
+    show(
+        "daily_event_trend (window over one keyed shuffle)",
+        q.daily_event_trend(spark, sf_dir),
+        checks=[("no cartesian/nested loop",
+                 lambda p: "CartesianProduct" not in p and "NestedLoop" not in p)],
+    )
+    show(
+        "lang_by_source_pivot (map-side partial agg)",
+        q.lang_by_source_pivot(spark, sf_dir),
+        checks=[("map-side combine before the shuffle",
+                 lambda p: "partial_" in p)],
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
