@@ -339,6 +339,24 @@ def main():
 
     timed("asof_click_attribution", _asof)
 
+    from sketchlib.relops import range_join
+    from sketchlib.textops import vocab_topk
+
+    def _range():
+        half = 1_800_000_000
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+        )
+        wins = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), "user_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) - half).alias("s"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) + half).alias("e"),
+        )
+        return range_join(clicks, wins, "user_id", "t", "s", "e", half).count()
+
+    timed("range_join_promo_windows", _range)
+    timed("vocab_top100", lambda: vocab_topk(docs, k=100).collect())
+
     # scaling (north_rule ≥0.8 at N→4N): the compute-dense kernel workload
     # at local[8] vs local[32], interleaved with the same-kernel mp control
     # so host CPU drift cancels; 3 reps, median. See module docstring and

@@ -159,6 +159,62 @@ def range_join(
     )
 
 
+def zorder_by(
+    df: DataFrame, cols: list[str], bits: int = 16, num_files: int | None = None
+) -> DataFrame:
+    """Cluster rows along a Z-order (Morton) curve over ``cols`` — the
+    data-layout lever for multi-column scan pruning at rest: after
+    ``zorder_by(df, [a, b]).write.parquet(...)``, each output file /
+    row group covers a small hyper-rectangle of (a, b), so parquet
+    min/max statistics prune reads for predicates on EITHER column
+    (a plain sort only prunes its leading column).
+
+    Each column is normalized to ``bits`` equal-width buckets between its
+    global min and max (ONE tiny aggregation — never a global rank
+    window, which would single-partition the data), then the bucket bits
+    are interleaved into the Morton key the rows are range-partitioned
+    and sorted by. Skewed distributions give uneven bucket occupancy —
+    the layout still prunes, just less evenly. Rows are unchanged — only
+    their order/placement moves; ``repartitionByRange`` keeps output
+    files non-overlapping in key space.
+
+    Cost: one global range shuffle — paid ONCE at write time, like
+    bucketing; every later scan with selective predicates wins.
+    """
+    if not cols or bits < 1 or bits > 20:
+        raise ValueError("need ≥1 column and 1 ≤ bits ≤ 20")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).first()
+    nb = 1 << bits
+    bcols = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            bcols.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(float(mx - mn))
+        bcols.append(
+            F.least(F.floor(frac * F.lit(float(nb))).cast("long"), F.lit(nb - 1))
+        )
+    # interleave: bit j of column i lands at position j*len(cols)+i
+    z = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, b in enumerate(bcols):
+            z = z + F.shiftleft(
+                F.shiftrightunsigned(b, j).bitwiseAND(F.lit(1)), j * len(cols) + i
+            )
+    zed = df.withColumn("__z", z)
+    parts = [num_files] if num_files else []  # else spark.sql.shuffle.partitions
+    return (
+        zed.repartitionByRange(*parts, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def sample_by_hash(df: DataFrame, key_sql: str, threshold_hex: str) -> DataFrame:
     """Deterministic, engine-portable sample: keep rows whose ``md5(key)``
     hex digest sorts below ``threshold_hex`` (e.g. '28' keeps ≈ 0x28/0x100

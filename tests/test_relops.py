@@ -235,3 +235,63 @@ def test_range_join_rejects_bad_width(spark):
     df = spark.createDataFrame([(1, 1)], "k long, t long")
     with pytest.raises(ValueError, match="bucket_width"):
         range_join(df, df, "k", "t", "t", "t", 0)
+
+
+def test_zorder_layout_prunes_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered parquet: per-file min/max ranges must be narrow on BOTH
+    curve columns (a plain sort narrows only its leading column), so
+    row-group statistics prune scans for predicates on either. Content is
+    unchanged — only placement."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sketchlib.relops import zorder_by
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    zpath = str(tmp_path / "zorder")
+    upath = str(tmp_path / "plain")
+    zorder_by(ev, ["user_id", "value"], bits=8, num_files=8).write.mode("overwrite").parquet(zpath)
+    ev.repartition(8).write.mode("overwrite").parquet(upath)
+
+    def avg_rel_range(path, col):
+        lo = ev.agg(F.min(col)).first()[0]
+        hi = ev.agg(F.max(col)).first()[0]
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            fl, fh = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fl = s.min if fl is None else min(fl, s.min)
+                        fh = s.max if fh is None else max(fh, s.max)
+            if fl is not None:
+                spans.append((fh - fl) / max(hi - lo, 1e-12))
+        assert spans, f"no stats found under {path}"
+        return sum(spans) / len(spans)
+
+    # round-robin files span ~the full domain on both columns; z-order
+    # shrinks both dramatically
+    for col in ("user_id", "value"):
+        z = avg_rel_range(zpath, col)
+        u = avg_rel_range(upath, col)
+        assert z < 0.6 * u, f"{col}: zorder {z:.3f} vs plain {u:.3f}"
+    # content preserved exactly (same multiset of rows)
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).count() == 0 and ev.exceptAll(back).count() == 0
+
+
+def test_zorder_rejects_bad_args(spark, sf_dir):
+    from sketchlib.relops import zorder_by
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError):
+        zorder_by(ev, [], bits=8)
+    with pytest.raises(ValueError):
+        zorder_by(ev, ["value"], bits=0)
