@@ -457,6 +457,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk_indexed(spark, sig_path, qvec, k=10).select("vec_id")
 
 
+def _ann_lsh_batch_oracle(qids=(0, 11, 42), n_planes: int = 8, radius: int = 2,
+                          k: int = 10) -> str:
+    """DuckDB re-implementation of the BATCH multiprobe sign-LSH top-k:
+    corpus and query sign bits from literal hyperplanes, Hamming ≤ radius
+    candidate join, exact re-score, per-query ROW_NUMBER top-k."""
+    planes = _plane_lits(n_planes)
+    bits = ", ".join(
+        f"CASE WHEN list_dot_product(v, {planes[p]}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(n_planes)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN s.b{p} <> t.b{p} THEN 1 ELSE 0 END" for p in range(n_planes)
+    )
+    ids = ", ".join(str(i) for i in qids)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {bits} FROM e),
+qsig AS (SELECT vec_id AS query_id, v AS qv, {bits}
+         FROM (SELECT vec_id, v FROM e WHERE vec_id IN ({ids})) q(vec_id, v)),
+cand AS (SELECT t.query_id, s.vec_id, s.v, t.qv FROM sig s, qsig t
+         WHERE ({hamming}) <= {radius})
+SELECT query_id, vec_id FROM (
+  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY ROUND(list_cosine_similarity(v, qv), 9) DESC, vec_id) AS rn
+  FROM cand) WHERE rn <= {k}
+"""
+
+
+@register("ann_lsh_topk_batch", _ann_lsh_batch_oracle())
+def ann_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN: three query vectors at once through the signature
+    equi-join (queries explode to their Hamming balls; never a per-query
+    driver round-trip, never a cross join) — the realistic many-query
+    shape at scale. Oracle re-derives the whole batch pipeline in DuckDB."""
+    from sketchlib.similarity import lsh_cosine_topk_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin([0, 11, 42])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_cosine_topk_batch(qs, emb, k=10, n_planes=8, hamming_probe=2)
+    return out.select("query_id", "vec_id")
+
+
 @register(
     "stratified_sample_per_lang",
     "SELECT doc_id, lang FROM documents "

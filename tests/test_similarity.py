@@ -210,3 +210,31 @@ def test_kmeans_parallel_seeds_deterministic_and_better_on_skew(spark, tmp_path)
         rkm.append(len(gk & exact) / 10)
         rhs.append(len(gh & exact) / 10)
     assert np.mean(rkm) >= np.mean(rhs), (rkm, rhs)
+
+
+def test_batch_topk_equals_per_query(spark, emb, emb_np):
+    """The batch probe must return exactly the per-query variant's results
+    for each query id (same planes, same radius, same re-score)."""
+    from sketchlib.similarity import lsh_cosine_topk_batch
+
+    ids, mat = emb_np
+    qids = [0, 11, 42]
+    qs = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = lsh_cosine_topk_batch(qs, emb, k=10, n_planes=8, hamming_probe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["cosine"], r["vec_id"]))
+    for qi in qids:
+        single = lsh_cosine_topk(emb, mat[qi].tolist(), k=10, n_planes=8, hamming_probe=2)
+        exp = [(r["cosine"], r["vec_id"]) for r in single.collect()]
+        assert sorted(got[qi], key=lambda x: (-x[0], x[1])) == exp, qi
+
+
+def test_batch_topk_empty_corpus(spark):
+    from sketchlib.similarity import lsh_cosine_topk_batch
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    qs = spark.createDataFrame([], "query_id bigint, embedding array<float>")
+    assert lsh_cosine_topk_batch(qs, empty).count() == 0
