@@ -360,6 +360,43 @@ def tdigest_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, rank_ok boolean")
 
 
+_INCR_ORACLE = (
+    "WITH seen AS (SELECT {norm} AS nt FROM documents WHERE doc_id % 2 = 0) "
+    "SELECT doc_id FROM documents "
+    "WHERE doc_id % 2 = 1 AND {norm} NOT IN (SELECT nt FROM seen)"
+).format(norm=norm_text_sql("duckdb"))
+
+
+@register("incremental_dedup_new_docs", _INCR_ORACLE)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup — the cuckoo filter doing its
+    actual pipeline job: build an FP32 membership filter over the
+    PREVIOUS snapshot's normalized-text fingerprints (even doc_ids), then
+    stream the NEW snapshot (odd doc_ids) through a probe and keep only
+    unseen documents. Exact-equivalent at FP32 (false-positive doc loss
+    ≈ 9.3e-10, unobservable at gate scale — the oracle is the exact
+    NOT IN and would surface one); at 100 TB the seen-store is a few GB
+    of filter shards instead of a corpus-wide join."""
+    from sketchlib.kernels.cuckoo import size_for
+    from sketchlib.spark.cuckoo import CuckooSpec, ShardedCuckoo, build_filter_direct, probe
+    from sketchlib.textops import norm_text_sql as _nts
+
+    docs = _docs(spark, sf_dir)
+    norm = _nts("spark")
+    prev = docs.filter("doc_id % 2 = 0").selectExpr(f"{norm} AS nt")
+    new = docs.filter("doc_id % 2 = 1").selectExpr("doc_id", f"{norm} AS nt")
+    spec = CuckooSpec(
+        "incr-dedup", size_for(max(prev.count(), 1), 4), fpsize=4, num_shards=2
+    )
+    merged = build_filter_direct(prev, spec, key=F.col("nt"))
+    sc = ShardedCuckoo.from_df(merged, spec)
+    return (
+        probe(new, sc, key=F.col("nt"))
+        .filter(~F.col("member"))
+        .select("doc_id")
+    )
+
+
 _PIPE_ORACLE = (
     "SELECT MIN(doc_id) AS doc_id FROM documents "
     f"WHERE {token_count_sql('duckdb')} BETWEEN 10 AND 100000 "

@@ -183,6 +183,22 @@ def main():
             ],
         )
 
+    from sketchlib.similarity import lsh_cosine_topk_batch
+
+    qs_batch = emb.filter(F.col("vec_id").isin([0, 11])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    show(
+        "batch ANN probe (signature equi-join, never a cross join)",
+        lsh_cosine_topk_batch(qs_batch, emb, k=5, n_planes=8, hamming_probe=2),
+        checks=[
+            ("candidates come from an equi-join on the signature",
+             lambda p: "SortMergeJoin" in p or "HashJoin" in p),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
+
     from sketchlib.relops import asof_join, sample_by_hash
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
