@@ -604,6 +604,37 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAGG_ORACLE = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
+       COUNT(*) AS n, SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS val_e3
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("hourly_continuous_aggregate", _CAGG_ORACLE)
+def hourly_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly rollup materialized at
+    a (deterministic, day-aligned) refresh cutoff + on-the-fly aggregation
+    of only the raw tail, merged by summing integer partials — history is
+    never rescanned, yet the result equals the direct full GROUP BY
+    exactly (the oracle computes it directly over all events)."""
+    import os
+
+    from sketchlib.queries import _events
+    from sketchlib.relops import continuous_agg, write_time_rollup
+
+    ev = _events(spark, sf_dir)
+    cutoff_us = ev.select(
+        F.unix_micros(F.date_trunc("day", F.max(F.col("ts").cast("timestamp"))))
+    ).first()[0]
+    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/rollup_hour_v1"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_time_rollup(
+            ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) < cutoff_us), path
+        )
+    return continuous_agg(spark, path, ev, cutoff_us)
+
+
 _RANGE_ORACLE = """
 WITH clicks AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t
                 FROM events WHERE event_type = 'click'),

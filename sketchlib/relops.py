@@ -215,6 +215,73 @@ def zorder_by(
     )
 
 
+def write_time_rollup(
+    events: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+    bucket: str = "hour",
+) -> None:
+    """Materialize a time-bucketed rollup (the hypertable
+    continuous-aggregate pattern): per (bucket, key) COUNT and an
+    integerized SUM (``floor(value·1000)`` summed as longs — exact and
+    summation-order-independent, so rollup+tail merges reproduce the
+    direct aggregate bit-for-bit). Pass the events VISIBLE AT REFRESH
+    TIME (i.e. ts < the refresh cutoff): a bucket straddling the cutoff
+    then holds only its pre-cutoff partial and merges exactly with the
+    tail. Written once per refresh; queries over history read THIS table
+    instead of rescanning raw events."""
+    ev = events.withColumn("__b", F.date_trunc(bucket, F.col(ts_col).cast("timestamp")))
+    (
+        ev.groupBy("__b", key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col(val_col) * 1000).cast("long")).alias("val_e3"),
+        )
+        .select(F.unix_micros("__b").alias("bucket_us"), key_col, "n", "val_e3")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def continuous_agg(
+    spark,
+    rollup_path: str,
+    events: DataFrame,
+    cutoff_us: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Continuous aggregate read: pre-aggregated rollup buckets BEFORE
+    ``cutoff_us`` union an on-the-fly aggregate of the raw tail AT/after
+    it, merged by summing the mergeable partials (counts + integer sums).
+    History costs a scan of the tiny rollup table — never a rescan of raw
+    events; only the tail (one refresh interval) aggregates at query
+    time. Equals the direct full GROUP BY exactly (integer partials)."""
+    pre = spark.read.parquet(rollup_path).filter(F.col("bucket_us") < cutoff_us)
+    tail = (
+        events.filter(F.unix_micros(F.col(ts_col).cast("timestamp")) >= cutoff_us)
+        .withColumn("__b", F.date_trunc(bucket, F.col(ts_col).cast("timestamp")))
+        .groupBy("__b", key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col(val_col) * 1000).cast("long")).alias("val_e3"),
+        )
+        .select(F.unix_micros("__b").alias("bucket_us"), key_col, "n", "val_e3")
+    )
+    # a bucket straddling the cutoff contributes a rollup partial (the
+    # refresh saw only < cutoff events) AND tail rows — merging integer
+    # partials by key makes the straddle exact
+    return (
+        pre.unionByName(tail)
+        .groupBy("bucket_us", key_col)
+        .agg(F.sum("n").alias("n"), F.sum("val_e3").alias("val_e3"))
+    )
+
+
 def sample_by_hash(df: DataFrame, key_sql: str, threshold_hex: str) -> DataFrame:
     """Deterministic, engine-portable sample: keep rows whose ``md5(key)``
     hex digest sorts below ``threshold_hex`` (e.g. '28' keeps ≈ 0x28/0x100

@@ -295,3 +295,37 @@ def test_zorder_rejects_bad_args(spark, sf_dir):
         zorder_by(ev, [], bits=8)
     with pytest.raises(ValueError):
         zorder_by(ev, ["value"], bits=0)
+
+
+def test_continuous_agg_exact_even_with_midbucket_cutoff(spark, sf_dir, tmp_path):
+    """The rollup+tail merge must equal the direct GROUP BY even when the
+    refresh cutoff falls MID-bucket: the straddling bucket's rollup
+    partial (pre-cutoff events only) merges with its tail rows exactly
+    because the partials are integers."""
+    from sketchlib.relops import continuous_agg, write_time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.select(F.min(ts_us), F.max(ts_us)).first()
+    cutoff = (lo + hi) // 2 + 17_123_456  # deliberately NOT bucket-aligned
+    path = str(tmp_path / "rollup")
+    write_time_rollup(ev.filter(ts_us < cutoff), path)
+    got = {
+        (r["bucket_us"], r["event_type"]): (r["n"], r["val_e3"])
+        for r in continuous_agg(spark, path, ev, cutoff).collect()
+    }
+    direct = {
+        (r["bucket_us"], r["event_type"]): (r["n"], r["val_e3"])
+        for r in ev.withColumn("__b", F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .groupBy("__b", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("val_e3"),
+        )
+        .select(F.unix_micros("__b").alias("bucket_us"), "event_type", "n", "val_e3")
+        .collect()
+    }
+    assert got == direct
+    # and the tail the query aggregates is a small fraction of raw events
+    tail_n = ev.filter(ts_us >= cutoff).count()
+    assert tail_n < ev.count()
