@@ -86,7 +86,11 @@ SCALE_N = int(os.environ.get("SKETCHLIB_BENCH_SCALE_ROWS", "20000000"))
 # the same-kernel control: Spark ratio ÷ mp ratio isolates Spark's own
 # orchestration cost from this box's shared-hardware ceiling.
 
-KERNEL_PER = int(os.environ.get("SKETCHLIB_BENCH_KERNEL_PER", "2000000"))
+# 1M rows/task: each A/B window is ~half as long as r2's 2M, so the four
+# interleaved measurements of a rep sit closer together in time — windows
+# drift less, fewer reps get rejected, and the same wall-clock affords
+# more accepted reps for the median
+KERNEL_PER = int(os.environ.get("SKETCHLIB_BENCH_KERNEL_PER", "1000000"))
 KERNEL_TASKS_PER_CORE = 3
 
 
@@ -389,11 +393,19 @@ def main():
         # reps are REJECTED and re-run (recorded under rejected_reps for
         # inspection); the reported numbers are medians over ACCEPTED reps
         # only, and control_sane says whether 3 accepted reps were found.
+        # The control needs a plausibility CEILING as well as a floor: a
+        # weak-scaling mp efficiency near/above 1 (4× procs → ≥4× rows/s
+        # on one shared box) is physically impossible for this SIMD-dense
+        # kernel (BASELINE.md saturation analysis caps it ~0.5-0.65) — it
+        # means the mp32 window caught a fast minute the paired windows
+        # didn't, which DEFLATES the normalized ratio exactly the way a
+        # collapsed control inflates it. Both directions are rejected.
         MP_EFF_FLOOR = 0.25
+        MP_EFF_CEIL = 0.9
         NORM_BAND = (0.5, 1.5)
         reps, rejected = [], []
         attempts = 0
-        while len(reps) < 3 and attempts < 8:
+        while len(reps) < 4 and attempts < 10:
             s8 = spark_kernel(8)
             m8 = mp_kernel_control(8)
             s32 = spark_kernel(32)
@@ -406,7 +418,7 @@ def main():
                 "normalized_eff": round((s32 / (4 * s8)) / (m32 / (4 * m8)), 3),
             }
             ok = (
-                rec["mp_eff"] >= MP_EFF_FLOOR
+                MP_EFF_FLOOR <= rec["mp_eff"] <= MP_EFF_CEIL
                 and NORM_BAND[0] <= rec["normalized_eff"] <= NORM_BAND[1]
             )
             log(f"  rep attempt {attempts}: {rec} -> {'accepted' if ok else 'REJECTED (windows not equivalent)'}")
@@ -419,7 +431,9 @@ def main():
         # is the estimator; all reps are recorded raw for inspection.
         if not reps:  # never observed on this box; keep the artifact honest
             reps = rejected
-        med = lambda k: sorted(r[k] for r in reps)[len(reps) // 2]  # noqa: E731
+        import statistics
+
+        med = lambda k: round(statistics.median(r[k] for r in reps), 3)  # noqa: E731
         build = {}
         for cores in (8, 32):
             out = subprocess.run(
@@ -438,8 +452,10 @@ def main():
             # self-evidencing criterion: True iff 3 reps passed the control
             # plausibility floor — the normalized number is meaningful
             # without consulting BASELINE.md
-            "control_sane": len(reps) >= 3 and med("mp_eff") >= MP_EFF_FLOOR,
+            "control_sane": len(reps) >= 3
+            and MP_EFF_FLOOR <= med("mp_eff") <= MP_EFF_CEIL,
             "mp_eff_floor": MP_EFF_FLOOR,
+            "mp_eff_ceil": MP_EFF_CEIL,
             "normalized_accept_band": list(NORM_BAND),
             "reps": reps,
             "rejected_reps": rejected,

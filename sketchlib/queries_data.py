@@ -3,9 +3,12 @@ multimodal — registered into the same oracle-checked registry as the
 sketch queries (SURVEY.md §2.6-2.10 + task-mandated pipeline operators).
 
 Where the operator is expressible as portable SQL, the oracle runs the SAME
-fragments in DuckDB (true expression parity). Approximate operators
-(SimHash, MinHash-LSH) are rows-only here and ground-truth-tested in
-pytest.
+fragments in DuckDB (true expression parity). Approximate/indexed operators
+(SimHash, MinHash-LSH, sign-LSH ANN, IVF+Lloyd) carry INDEPENDENT DuckDB
+re-implementations of the same deterministic algorithm (literal
+hyperplanes, band equalities, fixed-point Lloyd rounds, recursive-CTE
+reachability) — algorithm-level parity, not recall coincidences; recall vs
+brute force is additionally measured in pytest.
 """
 
 from __future__ import annotations
