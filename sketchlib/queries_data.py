@@ -826,6 +826,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, idx, qvec, k=10, nprobe=4).select("vec_id")
 
 
+_PACK_ORACLE = (
+    "WITH t AS (SELECT doc_id, {tc} AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS k "
+    "           FROM documents), "
+    "c AS (SELECT doc_id, n_tokens, "
+    "             SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum "
+    "      FROM t) "
+    "SELECT doc_id, n_tokens, "
+    "       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id, "
+    "       CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_off FROM c"
+).format(tc=token_count_sql("duckdb"))
+
+
+@register("pack_sequences_2048", _PACK_ORACLE)
+def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (concat-then-chunk at a 2048-token
+    budget): deterministic hash-ordered document stream cut into bins via
+    a two-phase distributed prefix sum (per-partition window cumsum +
+    driver-side prefix offsets — never a global single-partition window).
+    Oracle is the straightforward window SUM in DuckDB; exact integer
+    arithmetic makes the bin/offset assignment engine-identical."""
+    from sketchlib.textops import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=2048)
+
+
 # ------------------------------------------------- sources/sinks beyond parquet
 
 

@@ -211,3 +211,65 @@ def with_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int, id_col: str = "doc_id", tokens_col: str | None = None
+) -> DataFrame:
+    """Sequence packing for pretraining (concat-then-chunk): documents are
+    laid out in a deterministic md5-hash order and the token stream is cut
+    into fixed-``budget`` bins; each document gets the bin it STARTS in
+    and its token offset inside that bin (documents may straddle bins —
+    exactly the standard concat+chunk pretraining layout).
+
+    Distributed shape: the global order is one ``repartitionByRange`` +
+    local sort on the hash key; the global cumulative token count is the
+    TWO-PHASE prefix sum — a per-partition window cumsum (partitioned by
+    ``spark_partition_id()``, so no single-partition global-window
+    collapse) plus tiny per-partition totals collected to the driver and
+    broadcast back as prefix offsets (range partitions are ordered by
+    construction). Bin assignment is pure integer arithmetic on the exact
+    cumsum, so the result is independent of partition boundaries and
+    engine (oracled against a DuckDB window sum).
+
+    Returns (doc_id, n_tokens, bin_id, start_off), bins 0-based.
+    """
+    from pyspark.sql import Window as W
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if tokens_col is None:
+        d = docs.selectExpr(id_col, f"{token_count_sql('spark')} AS n_tokens")
+    else:
+        d = docs.select(id_col, F.col(tokens_col).cast("long").alias("n_tokens"))
+    d = d.withColumn("__k", F.md5(F.col(id_col).cast("string")))
+    d = (
+        d.repartitionByRange("__k", id_col)
+        .sortWithinPartitions("__k", id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy("__k", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = d.withColumn("__lc", F.sum("n_tokens").over(w))
+    totals = {
+        r["__pid"]: r["t"]
+        for r in d.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offs, acc = {}, 0
+    for pid in sorted(totals):  # range partitions are key-ordered
+        offs[pid] = acc
+        acc += totals[pid] or 0
+    off_map = F.create_map(
+        *[x for pid, off in offs.items() for x in (F.lit(pid), F.lit(off))]
+    )
+    start = (F.col("__lc") + off_map[F.col("__pid")] - F.col("n_tokens")).cast("long")
+    return d.select(id_col, "n_tokens", start.alias("__start")).select(
+        id_col,
+        "n_tokens",
+        F.expr(f"__start div {int(budget)}").alias("bin_id"),
+        F.expr(f"__start % {int(budget)}").alias("start_off"),
+    )

@@ -87,3 +87,38 @@ def test_simhash_ground_truth(spark):
     ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert ham(got[0], got[1]) <= 16
     assert ham(got[0], got[2]) > 16
+
+
+def test_pack_sequences_matches_sequential_reference(spark, sf_dir):
+    """The two-phase distributed prefix sum must equal a driver-side
+    sequential pass over the same hash order, under any input
+    partitioning, and bins must be contiguous token ranges."""
+    import hashlib
+
+    from sketchlib.textops import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["start_off"])
+        for r in pack_sequences(docs, budget=512).collect()
+    }
+    out_rep = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"], r["start_off"])
+        for r in pack_sequences(docs.repartition(13), budget=512).collect()
+    }
+    assert out == out_rep  # partitioning-independent
+    rows = sorted(
+        ((hashlib.md5(str(d).encode()).hexdigest(), d, nt) for d, (nt, _, _) in out.items())
+    )
+    cum = 0
+    for _, d, nt in rows:
+        assert out[d] == (nt, cum // 512, cum % 512), d
+        cum += nt
+
+
+def test_pack_sequences_rejects_bad_budget(spark, sf_dir):
+    from sketchlib.textops import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
