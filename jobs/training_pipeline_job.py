@@ -3,7 +3,8 @@
 documents table — quality filter → deterministic held-out split → exact
 dedup → near-dup pair generation (MinHash-LSH, candidate-only exact
 verify) → connected-component survivor selection → FP32 membership filter
-over the survivors → metrics report.
+over the survivors → sequence packing (concat-then-chunk at a fixed token
+budget) → metrics report.
 
 The north-rule execution mode::
 
@@ -15,7 +16,8 @@ The north-rule execution mode::
 Every stage is a registry-oracled operator (see sketchlib/queries_data.py);
 this job only composes them. Output: ``<output>/survivors`` (doc_id +
 canonical cluster), ``<output>/filter`` (sharded cuckoo membership filter
-over survivor doc_ids), ``<output>/metrics.json``.
+over survivor doc_ids), ``<output>/packed`` (doc_id → sequence bin +
+token offset at --seq-budget), ``<output>/metrics.json``.
 """
 
 from __future__ import annotations
@@ -37,6 +39,8 @@ def main(argv=None):
     ap.add_argument("--max-tokens", type=int, default=100_000)
     ap.add_argument("--fpsize", type=int, default=4, choices=[1, 2, 4])
     ap.add_argument("--num-shards", type=int, default=8)
+    ap.add_argument("--seq-budget", type=int, default=2048,
+                    help="token budget per packed training sequence")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -46,7 +50,7 @@ def main(argv=None):
     from sketchlib.kernels.cuckoo import size_for
     from sketchlib.relops import sample_by_hash
     from sketchlib.spark.cuckoo import CuckooSpec, ShardedCuckoo, build_filter_direct, probe
-    from sketchlib.textops import token_count_sql
+    from sketchlib.textops import pack_sequences, token_count_sql
 
     spark = SparkSession.builder.appName("sketchlib-training-pipeline").getOrCreate()
     os.makedirs(args.output, exist_ok=True)
@@ -91,12 +95,24 @@ def main(argv=None):
         .filter("NOT member")
         .count()
     )
+    # pack the surviving documents into fixed-budget training sequences
+    packed = pack_sequences(
+        kept_docs.join(survivors, "doc_id", "left_semi"), budget=args.seq_budget
+    )
+    packed.write.mode("overwrite").parquet(os.path.join(args.output, "packed"))
+    pk = spark.read.parquet(os.path.join(args.output, "packed")).agg(
+        F.max("bin_id").alias("mb"), F.sum("n_tokens").alias("tt")
+    ).first()
+    n_bins = int(pk["mb"]) + 1 if pk["mb"] is not None else 0
     metrics = {
         "input_rows": n_in,
         "survivors": n_surv,
         "filter_count": sc.count(),
         "false_negatives": fn,
         "broken": sc.is_broken(),
+        "packed_bins": n_bins,
+        "packed_tokens": int(pk["tt"] or 0),
+        "bin_fill": round((pk["tt"] or 0) / max(n_bins * args.seq_budget, 1), 4),
         "seconds": round(time.time() - t0, 2),
     }
     assert fn == 0, "membership filter lost survivors"

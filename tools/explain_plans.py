@@ -249,6 +249,32 @@ def main():
             ("scan prunes to doc_id", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
         ],
     )
+    from sketchlib.textops import pack_sequences
+
+    show(
+        "pack_sequences (two-phase prefix sum; no global-window collapse)",
+        pack_sequences(docs, budget=512),
+        checks=[
+            # the cumsum window partitions by spark_partition_id — a global
+            # (unpartitioned) window would appear as Exchange SinglePartition
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
+            ("range-partitioned global order",
+             lambda p: "rangepartitioning" in p),
+        ],
+    )
+    from sketchlib.relops import zorder_by
+
+    show(
+        "zorder_by (range shuffle only; no single-partition stage)",
+        zorder_by(ev.select("event_id", "user_id", "value"), ["user_id", "value"], bits=8),
+        checks=[
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
+            ("range-partitioned on the morton key",
+             lambda p: "rangepartitioning" in p),
+        ],
+    )
     from sketchlib.textops import vocab_topk
 
     show(
