@@ -391,9 +391,14 @@ def main():
     timed("range_join_promo_windows", _range)
     timed("vocab_top100", lambda: vocab_topk(docs, k=100).collect())
 
+    from sketchlib.textops import pack_sequences
+
+    timed("pack_sequences_2048", lambda: pack_sequences(docs, budget=2048).count())
+
     # scaling (north_rule ≥0.8 at N→4N): the compute-dense kernel workload
     # at local[8] vs local[32], interleaved with the same-kernel mp control
-    # so host CPU drift cancels; 3 reps, median. See module docstring and
+    # so host CPU drift cancels; median over 4 ACCEPTED reps (scaling_rep_ok
+    # gates window equivalence). See module docstring and
     # BENCH/BASELINE.md for the methodology.
     if os.environ.get("SKETCHLIB_BENCH_SCALING", "1") != "0":
         spark.stop()

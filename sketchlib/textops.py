@@ -259,6 +259,13 @@ def pack_sequences(
         r["__pid"]: r["t"]
         for r in d.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
     }
+    if not totals:  # empty input: empty packing (create_map needs ≥1 pair)
+        return d.select(
+            id_col,
+            "n_tokens",
+            F.lit(0).cast("long").alias("bin_id"),
+            F.lit(0).cast("long").alias("start_off"),
+        )
     offs, acc = {}, 0
     for pid in sorted(totals):  # range partitions are key-ordered
         offs[pid] = acc
