@@ -117,6 +117,7 @@ def range_join(
     right_start: str,
     right_end: str,
     bucket_width: int,
+    max_span_buckets: int | None = None,
 ) -> DataFrame:
     """Interval (range) join: all (left, right) pairs with matching ``key``
     and ``right_start <= left_ts <= right_end`` (inclusive ends; the three
@@ -134,6 +135,14 @@ def range_join(
 
     Intervals with ``right_end < right_start`` match nothing and are
     dropped before the explode.
+
+    ``max_span_buckets``: at web scale one adversarial interval spanning
+    the whole timeline would explode to millions of bucket rows. Setting a
+    cap DROPS intervals wider than ``cap × bucket_width`` before the
+    explode (the same bounded-cost trade as the LSH ``max_bucket_size``
+    caps — the dropped intervals are the pathological ones, and the drop
+    is explicit, never silent truncation of matches within kept
+    intervals). ``None`` (default) keeps exact semantics.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
@@ -149,7 +158,12 @@ def range_join(
         )
 
     lb = left.withColumn("__bkt", _bkt(left_ts))
-    rb = right.filter(F.col(right_end) >= F.col(right_start)).withColumn(
+    rvalid = right.filter(F.col(right_end) >= F.col(right_start))
+    if max_span_buckets is not None:
+        rvalid = rvalid.filter(
+            _bkt(right_end) - _bkt(right_start) < int(max_span_buckets)
+        )
+    rb = rvalid.withColumn(
         "__bkt", F.explode(F.sequence(_bkt(right_start), _bkt(right_end)))
     )
     return (

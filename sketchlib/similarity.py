@@ -368,6 +368,7 @@ def kmeans_parallel_seeds(
         .agg(F.count(F.lit(1)).alias("w"))
     )
     wmap = {r["ci"]: r["w"] for r in nearest.collect()}
+    norm.unpersist()
     C = np.array([c[1] for c in cands], dtype=np.float64)
     wts = np.array([wmap.get(i, 0) for i in range(len(cands))], dtype=np.float64)
     # driver-side deterministic reduction of the small weighted candidate set
@@ -459,6 +460,7 @@ def lsh_cosine_topk_batch(
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """BATCH approximate top-k: many query vectors at once — the realistic
     at-scale ANN shape (per-query driver round-trips don't survive a
@@ -475,6 +477,12 @@ def lsh_cosine_topk_batch(
     Precision 1 per returned row; recall per query follows the probe
     radius exactly like :func:`lsh_cosine_topk` (same buckets — tested
     equal to the per-query variant).
+
+    ``max_bucket_size``: a degenerate corpus signature bucket (near-zero
+    vectors, dataset-wide modes) multiplies against EVERY query probing
+    it. Setting a cap drops corpus buckets with more members before the
+    join (graceful recall degradation, same trade as the LSH pair caps);
+    ``None`` keeps exact multiprobe semantics.
     """
     from pyspark.sql import Window as W
 
@@ -510,6 +518,10 @@ def lsh_cosine_topk_batch(
         _norm(cv).alias("__cn"),
         sig_expr(vec_col, planes).alias("__sig"),
     )
+    if max_bucket_size is not None:
+        c = c.withColumn(
+            "__bsz", F.count(F.lit(1)).over(W.partitionBy("__sig"))
+        ).filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), id_col)
     return (
         probes.join(c, "__sig")

@@ -329,3 +329,23 @@ def test_continuous_agg_exact_even_with_midbucket_cutoff(spark, sf_dir, tmp_path
     # and the tail the query aggregates is a small fraction of raw events
     tail_n = ev.filter(ts_us >= cutoff).count()
     assert tail_n < ev.count()
+
+
+def test_range_join_span_cap(spark):
+    """max_span_buckets drops pathologically wide intervals (bounded
+    explode); narrow intervals and their matches are untouched."""
+    from sketchlib.relops import range_join
+
+    left = spark.createDataFrame([(1, 0, 50), (2, 0, 5000)], "lid long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 0, 40, 60), (11, 0, -100000, 100000)], "rid long, k long, s long, e long"
+    )
+    full = {
+        (r["lid"], r["rid"]) for r in range_join(left, right, "k", "t", "s", "e", 100).collect()
+    }
+    assert full == {(1, 10), (1, 11), (2, 11)}
+    capped = {
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "k", "t", "s", "e", 100, max_span_buckets=10).collect()
+    }
+    assert capped == {(1, 10)}  # the 2000-bucket interval is dropped whole

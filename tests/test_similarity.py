@@ -238,3 +238,18 @@ def test_batch_topk_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     qs = spark.createDataFrame([], "query_id bigint, embedding array<float>")
     assert lsh_cosine_topk_batch(qs, empty).count() == 0
+
+
+def test_batch_topk_bucket_cap_engages(spark, emb):
+    """max_bucket_size drops oversized corpus signature buckets before the
+    join: a zero cap removes every bucket (no candidates at all), and any
+    cap can only shrink the result."""
+    from sketchlib.similarity import lsh_cosine_topk_batch
+
+    qs = emb.filter(F.col("vec_id").isin([0, 11])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert lsh_cosine_topk_batch(qs, emb, k=5, max_bucket_size=0).count() == 0
+    full = lsh_cosine_topk_batch(qs, emb, k=5).count()
+    capped = lsh_cosine_topk_batch(qs, emb, k=5, max_bucket_size=2).count()
+    assert capped <= full
