@@ -40,6 +40,63 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def cross_doc_span_stats(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Cross-document span duplication (C4-style span dedup / train-test
+    contamination detection): for every document, the fraction of its word
+    ``n``-gram spans that also occur in at least one OTHER document.
+
+    Pipeline jobs threshold ``dup_span_frac`` to drop boilerplate-heavy or
+    contaminated pages; the per-span doc counts double as the span-level
+    blocklist C4 removes verbatim.
+
+    Distributed shape: spans are short derived strings — the corpus text
+    never shuffles. groupBy(doc_id, span) (map-side combine) → per-span
+    doc-frequency as count(*) over that already-distinct table (never a
+    count_distinct in a wide agg) → span-keyed equi-join back (AQE
+    skew-split applies to hot boilerplate spans; no per-doc broadcast) →
+    per-doc rollup. Docs shorter than ``n`` tokens are recovered from the
+    doc spine with 0 spans.
+
+    Returns (doc_id, n_spans, dup_spans, dup_span_frac).
+    """
+    if n < 2:
+        raise ValueError("span length n must be >= 2 (use token stats for n=1)")
+    base = docs.selectExpr(
+        "doc_id", f"filter(split({NORM_TEXT_SQL}, ' '), t -> t != '') AS __a"
+    )
+    spans = base.selectExpr(
+        "doc_id",
+        f"CASE WHEN size(__a) < {n} THEN array() ELSE "
+        f"transform(sequence(0, size(__a) - {n}), i -> concat_ws(' ', slice(__a, i + 1, {n}))) "
+        "END AS __s",
+    ).select("doc_id", F.explode("__s").alias("span"))
+    per_doc = spans.groupBy("doc_id", "span").agg(F.count(F.lit(1)).alias("c"))
+    span_df = per_doc.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        per_doc.join(span_df, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup_spans"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.expr(
+                "CASE WHEN n_spans IS NULL OR n_spans = 0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE CAST(dup_spans AS DOUBLE) / n_spans END"
+            ).alias("dup_span_frac"),
+        )
+    )
+
+
 def _bigram_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, bigram) rows: distinct word-bigrams per document."""
     toks = F.split(F.expr(NORM_TEXT_SQL), " ")

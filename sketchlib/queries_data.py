@@ -98,6 +98,80 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_rolling_fingerprint(_docs(spark, sf_dir))
 
 
+def _repetition_oracle() -> str:
+    norm = norm_text_sql("duckdb")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS a
+  FROM documents),
+tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(a) AS tok FROM base) GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_uniq FROM tc GROUP BY 1),
+gc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(CASE WHEN len(a) < 2 THEN []::VARCHAR[] ELSE
+          list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]) END) AS gram
+        FROM base) GROUP BY 1, 2),
+gs AS (
+  SELECT doc_id, sum(c) AS n_grams, max(c) AS top_c FROM gc GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(ts.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(ts.n_tokens - ts.n_uniq AS DOUBLE) / ts.n_tokens END AS dup_token_frac,
+  CASE WHEN coalesce(gs.n_grams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(gs.top_c AS DOUBLE) / gs.n_grams END AS top_2gram_frac
+FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN gs USING (doc_id)
+"""
+
+
+@register("doc_repetition_stats", _repetition_oracle())
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-token fraction, top-
+    2-gram fraction) — the DuckDB oracle re-derives the same two-level
+    grouped counts, so the gate checks the full algorithm, not a recall."""
+    from sketchlib.textops import with_repetition_stats
+
+    return with_repetition_stats(_docs(spark, sf_dir))
+
+
+def _span_oracle(n: int = 5) -> str:
+    norm = norm_text_sql("duckdb")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS a
+  FROM documents),
+pd AS (
+  SELECT doc_id, span, count(*) AS c
+  FROM (SELECT doc_id, unnest(CASE WHEN len(a) < {n} THEN []::VARCHAR[] ELSE
+          list_transform(range(1, len(a) - {n} + 2),
+                         i -> array_to_string(a[i:i+{n - 1}], ' ')) END) AS span
+        FROM base) GROUP BY 1, 2),
+sd AS (SELECT span, count(*) AS n_docs FROM pd GROUP BY 1),
+st AS (
+  SELECT doc_id, sum(c) AS n_spans,
+         sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS dup_spans
+  FROM pd JOIN sd USING (span) GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(st.dup_spans, 0) AS BIGINT) AS dup_spans,
+  CASE WHEN coalesce(st.n_spans, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(st.dup_spans AS DOUBLE) / st.n_spans END AS dup_span_frac
+FROM documents d LEFT JOIN st USING (doc_id)
+"""
+
+
+@register("cross_doc_span_dedup", _span_oracle())
+def cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span duplication (5-gram spans shared with
+    another doc) — contamination/boilerplate signal; oracle re-derives the
+    identical span counts and doc frequencies in DuckDB."""
+    from sketchlib.dedup import cross_doc_span_stats
+
+    return cross_doc_span_stats(_docs(spark, sf_dir), n=5)
+
+
 @register(
     "simhash_fingerprints",
     "SELECT doc_id, TRUE AS impl_agree FROM documents WHERE length(trim(text)) > 0",

@@ -213,6 +213,63 @@ def with_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def with_repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-document repetition signals (Rae et al. 2021 §A1.1,
+    the standard web-corpus quality gate): over whitespace tokens of the
+    normalized text,
+
+    - ``dup_token_frac``  = 1 − distinct_tokens / n_tokens
+    - ``top_2gram_frac``  = occurrences of the most frequent word 2-gram /
+      total 2-gram slots (0.0 for docs with < 2 tokens)
+
+    Distributed shape: explode → groupBy(doc_id, token|gram) with map-side
+    combine, then a per-doc rollup — the distinct-count arrives as count(*)
+    over the already-grouped (doc, token) table, NEVER as a count_distinct
+    folded into a wide agg (CLAUDE.md scale rule). All keys are (doc_id,
+    short string); nothing shuffles raw documents. Zero-token docs are
+    recovered by a left join from the doc spine with zero/0.0 fills.
+
+    Returns (doc_id, n_tokens, dup_token_frac, top_2gram_frac).
+    """
+    norm = norm_text_sql("spark")
+    base = docs.selectExpr("doc_id", f"filter(split({norm}, ' '), t -> t != '') AS __a")
+    tc = (
+        base.select("doc_id", F.explode("__a").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tok_stats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_uniq")
+    )
+    grams = base.selectExpr(
+        "doc_id",
+        "CASE WHEN size(__a) < 2 THEN array() ELSE "
+        "transform(sequence(0, size(__a) - 2), i -> concat_ws(' ', __a[i], __a[i+1])) "
+        "END AS __g",
+    ).select("doc_id", F.explode("__g").alias("gram"))
+    gc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gram_stats = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"), F.max("c").alias("top_c")
+    )
+    return (
+        docs.select("doc_id")
+        .join(tok_stats, "doc_id", "left")
+        .join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.expr(
+                "CASE WHEN n_tokens IS NULL OR n_tokens = 0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE CAST(n_tokens - n_uniq AS DOUBLE) / n_tokens END"
+            ).alias("dup_token_frac"),
+            F.expr(
+                "CASE WHEN n_grams IS NULL OR n_grams = 0 THEN CAST(0.0 AS DOUBLE) "
+                "ELSE CAST(top_c AS DOUBLE) / n_grams END"
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame, budget: int, id_col: str = "doc_id", tokens_col: str | None = None
 ) -> DataFrame:

@@ -255,3 +255,34 @@ def test_near_dup_clusters_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     with pytest.raises(ValueError, match="unknown algorithm"):
         near_dup_clusters(pairs, algorithm="galaxy")
+
+
+def test_cross_doc_span_stats_ground_truth(spark):
+    from sketchlib.dedup import cross_doc_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),  # spans(n=2): "a b","b c" — "a b" shared with doc 1
+            (1, "a b x"),
+            (2, "q r"),  # unique span
+            (3, "z"),  # shorter than n: no spans
+            (4, "m n m n"),  # within-doc repeat only: NOT a cross-doc dup
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_span_frac"])
+        for r in cross_doc_span_stats(df, n=2).collect()
+    }
+    assert out[0] == (2, 1, pytest.approx(0.5))
+    assert out[1] == (2, 1, pytest.approx(0.5))
+    assert out[2] == (1, 0, 0.0)
+    assert out[3] == (0, 0, 0.0)
+    assert out[4] == (3, 0, 0.0)
+
+
+def test_cross_doc_span_stats_rejects_bad_n(spark, corpus):
+    from sketchlib.dedup import cross_doc_span_stats
+
+    with pytest.raises(ValueError):
+        cross_doc_span_stats(corpus, n=1)

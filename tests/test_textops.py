@@ -122,3 +122,19 @@ def test_pack_sequences_rejects_bad_budget(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+def test_repetition_stats_ground_truth(spark):
+    from sketchlib.textops import with_repetition_stats
+
+    df = _df(spark, ["a a b", "x y x y x", "", "solo"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_2gram_frac"])
+        for r in with_repetition_stats(df).collect()
+    }
+    # "a a b": tokens [a,a,b] -> 1 dup of 3; grams [a a, a b] -> top 1/2
+    assert out[0] == (3, pytest.approx(1 / 3), pytest.approx(0.5))
+    # "x y x y x": 5 tokens 2 uniq; grams [x y, y x, x y, y x] -> top 2/4
+    assert out[1] == (5, pytest.approx(3 / 5), pytest.approx(0.5))
+    assert out[2] == (0, 0.0, 0.0)  # empty text
+    assert out[3] == (1, 0.0, 0.0)  # single token: no 2-grams

@@ -286,6 +286,38 @@ def main():
         ],
     )
 
+    from sketchlib.dedup import cross_doc_span_stats
+    from sketchlib.textops import with_repetition_stats
+
+    # broadcast disabled again: any surviving BroadcastExchange would be a
+    # forced hint on a per-document relation — the r2 scale-killer class
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    show(
+        "doc repetition stats (two-level grouped counts, no distinct-expand)",
+        with_repetition_stats(docs),
+        checks=[
+            ("map-side partial counts", lambda p: "partial_count" in p or "partial_sum" in p),
+            # distinct arrives as count(*) over the grouped table — the
+            # count_distinct Expand rewrite must NOT appear (CLAUDE.md rule)
+            ("no count-distinct Expand", lambda p: "Expand" not in p),
+            ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+    show(
+        "cross-doc span dedup (span-keyed equi-joins, corpus text never shuffles)",
+        cross_doc_span_stats(docs, n=5),
+        checks=[
+            ("map-side partial counts", lambda p: "partial_count" in p),
+            ("no count-distinct Expand", lambda p: "Expand" not in p),
+            ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     print("\nALL PLAN CHECKS PASSED")
 
 
