@@ -172,6 +172,95 @@ def cross_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_span_stats(_docs(spark, sf_dir), n=5)
 
 
+def _pii_injected(dialect: str) -> str:
+    """Deterministic doc-derived contact strings appended to the text: the
+    synthetic corpus carries no PII, so the gate query injects one email /
+    phone / IPv4 per doc before scrubbing — the OPERATOR under test is the
+    scrub; the injection just gives the oracle nonzero signal."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return (
+        f"concat(text, ' contact user', CAST(doc_id AS {s}), '@example.com"
+        f" or +1 555-010', CAST(doc_id % 10 AS {s}),"
+        f" ' at 10.0.', CAST(doc_id % 256 AS {s}), '.', CAST(doc_id % 100 AS {s}))"
+    )
+
+
+def _pii_oracle() -> str:
+    from sketchlib.textops import pii_scrub_sql
+
+    scrub, counts = pii_scrub_sql("duckdb", col="__inj")
+    return (
+        f"WITH t AS (SELECT doc_id, {_pii_injected('duckdb')} AS __inj FROM documents) "
+        f"SELECT doc_id, {scrub} AS scrubbed, {', '.join(counts)} FROM t"
+    )
+
+
+@register("doc_pii_scrub", _pii_oracle())
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-rule match counts — identical regex rules and
+    replacement order run in both engines (only the literal-escaping and
+    'g'-flag dialect splits differ)."""
+    from sketchlib.textops import with_pii_scrub
+
+    inj = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"{_pii_injected('spark')} AS __inj"
+    )
+    return with_pii_scrub(inj, col="__inj")
+
+
+def _top_terms_oracle(k: int = 3) -> str:
+    norm = norm_text_sql("duckdb")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS a
+  FROM documents),
+tc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(a) AS term FROM base) GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+  FROM tc JOIN dfreq USING (term))
+SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df, score
+FROM scored WHERE rank <= {k}
+"""
+
+
+@register("doc_top_terms", _top_terms_oracle())
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms by log-free TF-IDF (tf/df — IEEE
+    division is bit-identical cross-engine, unlike ln); DuckDB re-derives
+    the same counts, join, and window ranking."""
+    from sketchlib.textops import top_terms
+
+    return top_terms(_docs(spark, sf_dir), k=3)
+
+
+def _gopher_oracle() -> str:
+    reason = (
+        "CASE WHEN n_tokens < 10 THEN 'too_short' "
+        "WHEN n_tokens > 100000 THEN 'too_long' "
+        "WHEN dup_token_frac > 0.55 THEN 'dup_tokens' "
+        "WHEN top_2gram_frac > 0.1 THEN 'top_2gram' "
+        "ELSE 'keep' END"
+    )
+    return (
+        f"SELECT doc_id, ({reason}) = 'keep' AS keep, {reason} AS reason "
+        f"FROM ({_repetition_oracle()})"
+    )
+
+
+@register("quality_filter_gopher", _gopher_oracle())
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule keep/drop gate (length + repetition thresholds, first
+    failing rule = drop reason) over the repetition stats."""
+    from sketchlib.textops import gopher_quality_filter
+
+    return gopher_quality_filter(_docs(spark, sf_dir))
+
+
 @register(
     "simhash_fingerprints",
     "SELECT doc_id, TRUE AS impl_agree FROM documents WHERE length(trim(text)) > 0",

@@ -213,6 +213,113 @@ def with_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def _rx(dialect: str, pat: str) -> str:
+    """Regex pattern as a SQL string literal: Spark processes backslash
+    escapes inside literals (so every ``\\`` must double), DuckDB keeps them
+    raw — the same rule as ws_regex."""
+    return "'" + (pat.replace("\\", "\\\\") if dialect == "spark" else pat) + "'"
+
+
+#: PII scrub rules, applied in order (patterns are disjoint by construction:
+#: email needs '@', ipv4 needs dots, phone's charset has neither)
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub_sql(dialect: str, col: str = "text") -> tuple[str, list[str]]:
+    """(scrubbed-text expr, per-rule match-count exprs) as portable SQL.
+    Counts are taken on the ORIGINAL text per rule (rules are disjoint);
+    replacements apply sequentially in PII_RULES order. The only dialect
+    splits are the literal-escaping rule (_rx) and DuckDB's explicit 'g'
+    flag for global replacement (Spark replaces globally by default)."""
+    scrub = col
+    counts = []
+    for name, pat, repl in PII_RULES:
+        lit = _rx(dialect, pat)
+        if dialect == "spark":
+            scrub = f"regexp_replace({scrub}, {lit}, '{repl}')"
+            counts.append(
+                f"CAST(size(regexp_extract_all({col}, {lit}, 0)) AS BIGINT) AS n_{name}"
+            )
+        else:
+            scrub = f"regexp_replace({scrub}, {lit}, '{repl}', 'g')"
+            counts.append(
+                f"CAST(len(regexp_extract_all({col}, {lit})) AS BIGINT) AS n_{name}"
+            )
+    return scrub, counts
+
+
+def with_pii_scrub(docs: DataFrame, col: str = "text") -> DataFrame:
+    """PII scrubbing (training-data sanitization stage): redact emails,
+    IPv4 addresses, and phone-shaped digit runs with typed placeholder
+    tokens, and count matches per rule. Pure Catalyst regexp expressions —
+    per-row, no shuffle, whole-stage codegen; the scan prunes to
+    (doc_id, text)."""
+    scrub, counts = pii_scrub_sql("spark", col)
+    return docs.selectExpr("doc_id", f"{scrub} AS scrubbed", *counts)
+
+
+def top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` characteristic terms by a log-free TF-IDF:
+    score = tf / df (term frequency over corpus document frequency).
+
+    The log-free variant is deliberate: IEEE-754 division is correctly
+    rounded and therefore bit-identical across engines, while ``ln`` is a
+    libm transcendental that may differ in the last ulp between the JVM and
+    DuckDB — rank order (score DESC, term ASC) and the score column itself
+    stay exactly cross-engine-reproducible.
+
+    Distributed shape: groupBy(doc_id, term) with map-side combine → df as
+    count(*) over that grouped table (no count_distinct Expand) → term-keyed
+    equi-join (AQE skew-split covers stopword terms) → per-doc row_number
+    window (bounded by per-doc vocabulary)."""
+    from pyspark.sql import Window as W
+
+    norm = norm_text_sql("spark")
+    tc = (
+        docs.selectExpr("doc_id", f"filter(split({norm}, ' '), t -> t != '') AS __a")
+        .select("doc_id", F.explode("__a").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tc.join(dfreq, "term")
+        .withColumn("score", F.expr("CAST(tf AS DOUBLE) / df"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_dup_token_frac: float = 0.55,
+    max_top_2gram_frac: float = 0.10,
+) -> DataFrame:
+    """The keep/drop gate of a Gopher-rule quality pipeline (Rae et al.
+    2021): length bounds plus the repetition signals, with the FIRST failing
+    rule recorded as the drop reason (rule order is part of the contract).
+    Returns (doc_id, keep, reason)."""
+    stats = with_repetition_stats(docs)
+    reason = (
+        f"CASE WHEN n_tokens < {min_tokens} THEN 'too_short' "
+        f"WHEN n_tokens > {max_tokens} THEN 'too_long' "
+        f"WHEN dup_token_frac > {max_dup_token_frac!r} THEN 'dup_tokens' "
+        f"WHEN top_2gram_frac > {max_top_2gram_frac!r} THEN 'top_2gram' "
+        "ELSE 'keep' END"
+    )
+    return stats.selectExpr(
+        "doc_id", f"({reason}) = 'keep' AS keep", f"{reason} AS reason"
+    )
+
+
 def with_repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style per-document repetition signals (Rae et al. 2021 §A1.1,
     the standard web-corpus quality gate): over whitespace tokens of the

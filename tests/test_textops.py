@@ -138,3 +138,52 @@ def test_repetition_stats_ground_truth(spark):
     assert out[1] == (5, pytest.approx(3 / 5), pytest.approx(0.5))
     assert out[2] == (0, 0.0, 0.0)  # empty text
     assert out[3] == (1, 0.0, 0.0)  # single token: no 2-grams
+
+
+def test_pii_scrub_ground_truth(spark):
+    from sketchlib.textops import with_pii_scrub
+
+    df = _df(
+        spark,
+        [
+            "mail me at jo.doe+x@sub.example.org today",
+            "call +1 (555) 123-4567 or visit 192.168.1.100 now",
+            "nothing sensitive here at all",
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["scrubbed"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in with_pii_scrub(df).collect()
+    }
+    assert out[0] == ("mail me at <EMAIL> today", 1, 0, 0)
+    assert out[1] == ("call <PHONE> or visit <IP> now", 0, 1, 1)
+    assert out[2] == ("nothing sensitive here at all", 0, 0, 0)
+
+
+def test_top_terms_ground_truth(spark):
+    from sketchlib.textops import top_terms
+
+    df = _df(spark, ["apple apple banana", "banana cherry", "cherry cherry cherry"])
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in top_terms(df, k=3).collect()
+    }
+    # df: apple 1, banana 2, cherry 2
+    assert rows[(0, 1)] == ("apple", 2, 1, 2.0)
+    assert rows[(0, 2)] == ("banana", 1, 2, 0.5)
+    # doc 1: equal scores 0.5 — tie broken by term ascending
+    assert rows[(1, 1)] == ("banana", 1, 2, 0.5)
+    assert rows[(1, 2)] == ("cherry", 1, 2, 0.5)
+    assert rows[(2, 1)] == ("cherry", 3, 2, 1.5)
+    assert len(rows) == 5  # k caps at per-doc vocabulary
+
+
+def test_gopher_quality_filter_rules(spark):
+    from sketchlib.textops import gopher_quality_filter
+
+    ok = "the quick brown fox jumps over a lazy dog tonight again"  # 11 distinct
+    df = _df(spark, [ok, "tiny doc", "spam " * 40 + "x y z a b c d e f g"])
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in gopher_quality_filter(df).collect()}
+    assert out[0] == (True, "keep")
+    assert out[1] == (False, "too_short")  # rule order: length before repetition
+    assert out[2] == (False, "dup_tokens")

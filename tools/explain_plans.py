@@ -316,6 +316,29 @@ def main():
              lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
     )
+    from sketchlib.textops import top_terms, with_pii_scrub
+
+    show(
+        "pii scrub (pure codegen projection, zero shuffle)",
+        with_pii_scrub(docs),
+        checks=[
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("whole-stage codegen", lambda p: "*(1)" in p),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+    show(
+        "top terms (tf/df join on term, per-doc bounded window)",
+        top_terms(docs, k=3),
+        checks=[
+            ("map-side partial counts", lambda p: "partial_count" in p),
+            ("no count-distinct Expand", lambda p: "Expand" not in p),
+            ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ],
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     print("\nALL PLAN CHECKS PASSED")
