@@ -395,6 +395,18 @@ def main():
 
     timed("pack_sequences_2048", lambda: pack_sequences(docs, budget=2048).count())
 
+    from sketchlib.dedup import cross_doc_span_stats
+    from sketchlib.textops import gopher_quality_filter
+
+    timed(
+        "cross_doc_span_dedup",
+        lambda: cross_doc_span_stats(docs, n=5).agg(F.sum("dup_spans")).collect(),
+    )
+    timed(
+        "quality_filter_gopher",
+        lambda: gopher_quality_filter(docs).filter(F.col("keep")).count(),
+    )
+
     # scaling (north_rule ≥0.8 at N→4N): the compute-dense kernel workload
     # at local[8] vs local[32], interleaved with the same-kernel mp control
     # so host CPU drift cancels; median over 4 ACCEPTED reps (scaling_rep_ok

@@ -693,6 +693,30 @@ def builtin_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_semi_join_events",
+    "SELECT e.event_id, e.user_id, e.event_type FROM events e "
+    "WHERE e.user_id IN (SELECT c_custkey FROM customer "
+    "WHERE c_mktsegment = 'BUILDING')",
+)
+def sketch_semi_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated semi join (runtime filter): events are probed
+    through a cuckoo filter built on the qualifying customer keys BEFORE the
+    exact semi join — output is exact (no false negatives + FP removal), so
+    the oracle is the plain IN-subquery."""
+    from sketchlib.spark.cuckoo import semi_join_via_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return semi_join_via_filter(ev, cust, "user_id", "c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import sketchlib.queries_data  # noqa: F401 — registers pipeline queries
 

@@ -613,6 +613,54 @@ def probe_auto(
     return probe_cogrouped(merged, probes, spec, key=key, **kw)
 
 
+def semi_join_via_filter(
+    big: DataFrame,
+    small: DataFrame,
+    big_key,
+    small_key,
+    fpsize: int = 2,
+    num_shards: int = 8,
+    name: str = "semijoin",
+    broadcast_limit_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Sketch-accelerated semi join (a distributed runtime filter — the
+    classic use of these sketches in a query engine): build a cuckoo filter
+    on ``small``'s keys, probe ``big`` through it BEFORE any join shuffle,
+    then remove the filter's false positives with an exact left-semi join
+    over the (now tiny) survivors. Output is exact — no false negatives
+    means the pre-filter never drops a true match, and the exact join
+    drops the ≤bound false positives.
+
+    Why it scales: the filter blob is ~``fpsize`` bytes/key — bounded by
+    the SMALL side, like a broadcast join's hash table but ~50× smaller,
+    so it fits where a broadcast join wouldn't; the big side is filtered
+    map-side (no shuffle), and only ``selectivity + fp_rate`` of it ever
+    reaches the exchange. probe_auto escalates to the co-partitioned probe
+    when even the blobs outgrow ``broadcast_limit_bytes``.
+
+    ``big_key``/``small_key`` must be the same TYPE (the probe hashing
+    contract, see :func:`probe`).
+    """
+    from sketchlib.kernels.cuckoo import size_for
+
+    big_key = F.col(big_key) if isinstance(big_key, str) else big_key
+    small_key = F.col(small_key) if isinstance(small_key, str) else small_key
+    n = small.count()  # sizing job over a key-pruned scan (CF.SIZEFOR)
+    spec = CuckooSpec(
+        name, max(size_for(max(n, 1), fpsize), 1024), fpsize, num_shards=num_shards
+    )
+    merged = build_filter_direct(small, spec, key=small_key)
+    pre = probe_auto(
+        merged, big, spec, key=big_key, broadcast_limit_bytes=broadcast_limit_bytes
+    ).filter(F.col("member")).drop("member")
+    keys = small.select(small_key.alias("__k")).distinct()
+    return (
+        pre.withColumn("__bk", big_key)
+        .join(keys, F.col("__bk") == F.col("__k"), "left_semi")
+        .drop("__bk")
+    )
+
+
 def fix_toofull_shards(merged: DataFrame) -> DataFrame:
     """CF.FIXTOOFULL, distributed (reference redis-cuckoofilter.zig:325-353):
     try to re-home each shard's homeless fingerprint. Shards that stay too

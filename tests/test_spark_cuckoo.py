@@ -233,3 +233,18 @@ def test_build_counts_toofull_drops(spark):
     assert sc.dropped > 0
     assert sc.count() + sc.dropped <= 500 + len(sc.filters)  # homeless per partial
     assert sc.rows == 500
+
+
+def test_semi_join_via_filter_exact_at_fp8(spark):
+    """The runtime-filter semi join must be EXACT even at FP8 (~3% FP rate
+    pre-filter): no false negatives from the filter, false positives removed
+    by the exact join on survivors."""
+    from sketchlib.spark.cuckoo import semi_join_via_filter
+
+    big = spark.range(0, 5000).selectExpr("id AS k", "id % 7 AS payload")
+    small = spark.range(0, 150).selectExpr("id * 3 AS sk")  # 0,3,...,447
+    out = semi_join_via_filter(big, small, "k", "sk", fpsize=1)
+    got = sorted(r["k"] for r in out.collect())
+    want = [k for k in range(5000) if k % 3 == 0 and k <= 447]
+    assert got == want
+    assert [f.name for f in out.schema.fields] == ["k", "payload"]

@@ -339,6 +339,27 @@ def main():
              lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
     )
+    from sketchlib.spark.cuckoo import semi_join_via_filter
+
+    ev_k = ev.select("event_id", "user_id", "event_type")
+    cust_k = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    show(
+        "sketch semi join (runtime filter: probe big map-side, then exact join)",
+        semi_join_via_filter(ev_k, cust_k, "user_id", "c_custkey"),
+        checks=[
+            # the big side is filtered through the broadcast filter blobs in
+            # a MapInPandas under the join (plan prints root-first, so the
+            # probe appears below it) — survivors only reach the exchange
+            ("big side probed via MapInPandas under the join",
+             lambda p: "MapInPandas" in p.split("LeftSemi")[-1]),
+            ("semi join is an equi-join",
+             lambda p: "LeftSemi" in p),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
+        ],
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     print("\nALL PLAN CHECKS PASSED")
