@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sketchlib.textops import norm_text_sql
+from sketchlib.textops import ngram_array_expr, norm_text_sql
 
 NORM_TEXT_SQL = norm_text_sql("spark")
 
@@ -65,10 +65,7 @@ def cross_doc_span_stats(docs: DataFrame, n: int = 5) -> DataFrame:
         "doc_id", f"filter(split({NORM_TEXT_SQL}, ' '), t -> t != '') AS __a"
     )
     spans = base.selectExpr(
-        "doc_id",
-        f"CASE WHEN size(__a) < {n} THEN array() ELSE "
-        f"transform(sequence(0, size(__a) - {n}), i -> concat_ws(' ', slice(__a, i + 1, {n}))) "
-        "END AS __s",
+        "doc_id", f"{ngram_array_expr('__a', n)} AS __s"
     ).select("doc_id", F.explode("__s").alias("span"))
     per_doc = spans.groupBy("doc_id", "span").agg(F.count(F.lit(1)).alias("c"))
     span_df = per_doc.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -727,6 +727,38 @@ def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def _mix_oracle() -> str:
+    vals = ", ".join(
+        f"('{s}', CAST({f!r} AS DOUBLE))" for s, f in _MIX_TARGETS.items()
+    )
+    return f"""
+WITH t(source, tf) AS (VALUES {vals}),
+n AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+r AS (SELECT n.source, cnt, tf FROM n JOIN t USING (source)),
+nout AS (SELECT min(cnt / tf) AS nout FROM r),
+rates AS (SELECT source, tf * nout / cnt AS rate FROM r, nout)
+SELECT d.doc_id, d.source FROM documents d JOIN rates USING (source)
+WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+      lpad(lower(to_hex(CAST(floor(rate * 1152921504606846976) AS BIGINT))), 15, '0')
+"""
+
+
+@register("source_mixing_sample", _mix_oracle())
+def source_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resample to target source fractions (bottleneck source
+    kept whole, others hash-thinned) — rates and 60-bit md5 thresholds are
+    re-derived identically in DuckDB, so the gate pins the exact row set."""
+    from sketchlib.relops import mix_sources
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return mix_sources(docs, _MIX_TARGETS, "CAST(doc_id AS STRING)").select(
+        "doc_id", "source"
+    )
+
+
 # ----------------------------------------------- relational extensions
 
 _ASOF_ORACLE = """

@@ -296,6 +296,53 @@ def continuous_agg(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    targets: dict[str, float],
+    key_sql: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-mixing resampler (the data-mixing stage of a pretraining
+    pipeline): downsample each source so the output hits the ``targets``
+    fractions, maximizing total output size — the bottleneck source (the
+    one with the least data relative to its target) is kept whole and every
+    other source is hash-thinned to match.
+
+    rate_s = t_s · N_out / n_s with N_out = min_s(n_s / t_s); a row is kept
+    when its md5-hash uniform falls below rate_s (quantized to 60 bits).
+    Fully deterministic: reruns, repartitionings, and engines agree row for
+    row (the DuckDB oracle re-derives the identical rates and thresholds).
+
+    Distributed shape: everything stays in-plan — the per-source counts are
+    one map-side-combined aggregate, the k-row rates relation joins back by
+    broadcast, and the keep predicate is a pure projection; the driver never
+    sees a row. Sources absent from ``targets`` are dropped (inner join).
+
+    Float notes pinned for cross-engine parity: rate arithmetic is IEEE
+    ops in a fixed order (÷, min, ×, ÷); the threshold is
+    floor(rate·16^15) rendered as a 15-hex-char string (floor before the
+    BIGINT cast — DuckDB's bare cast ROUNDS where Spark truncates).
+    """
+    if not targets:
+        raise ValueError("targets must name at least one source")
+    spark = df.sparkSession
+    t = spark.createDataFrame(
+        [(s, float(f)) for s, f in targets.items()], f"{source_col} string, __tf double"
+    )
+    n = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    r = n.join(t, source_col)
+    nout = r.agg(F.min(F.col("__cnt") / F.col("__tf")).alias("__nout"))
+    rates = r.crossJoin(nout).select(
+        source_col, (F.col("__tf") * F.col("__nout") / F.col("__cnt")).alias("__rate")
+    )
+    thr = "lpad(lower(hex(CAST(floor(__rate * 1152921504606846976) AS BIGINT))), 15, '0')"
+    return (
+        df.join(F.broadcast(rates), source_col)  # k rows — bounded by |targets|
+        .filter(F.expr(f"__rate >= 1.0 OR substr(md5({key_sql}), 1, 15) < {thr}"))
+        .drop("__rate")
+    )
+
+
 def sample_by_hash(df: DataFrame, key_sql: str, threshold_hex: str) -> DataFrame:
     """Deterministic, engine-portable sample: keep rows whose ``md5(key)``
     hex digest sorts below ``threshold_hex`` (e.g. '28' keeps ≈ 0x28/0x100

@@ -213,6 +213,21 @@ def with_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def ngram_array_expr(arr: str, n: int) -> str:
+    """Word n-gram array from a token-array column, built by zip_with-ing
+    ``n`` shifted slices — NEVER by ``transform(sequence(...), i ->
+    arr[i]...)``: per-element indexing lambdas get the aliased array
+    expression INLINED per element (Catalyst collapses the projection), so
+    an expensive upstream (regex normalize + split) re-evaluates O(len)
+    times per row — measured 12× slower at sf0.1. Slices reference the
+    array once per ROW, keeping the upstream evaluation count constant."""
+    m = f"(size({arr}) - {n - 1})"
+    g = f"slice({arr}, 1, {m})"
+    for i in range(2, n + 1):
+        g = f"zip_with({g}, slice({arr}, {i}, {m}), (x, y) -> concat(x, ' ', y))"
+    return f"CASE WHEN size({arr}) < {n} THEN array() ELSE {g} END"
+
+
 def _rx(dialect: str, pat: str) -> str:
     """Regex pattern as a SQL string literal: Spark processes backslash
     escapes inside literals (so every ``\\`` must double), DuckDB keeps them
@@ -349,10 +364,7 @@ def with_repetition_stats(docs: DataFrame) -> DataFrame:
         F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_uniq")
     )
     grams = base.selectExpr(
-        "doc_id",
-        "CASE WHEN size(__a) < 2 THEN array() ELSE "
-        "transform(sequence(0, size(__a) - 2), i -> concat_ws(' ', __a[i], __a[i+1])) "
-        "END AS __g",
+        "doc_id", f"{ngram_array_expr('__a', 2)} AS __g"
     ).select("doc_id", F.explode("__g").alias("gram"))
     gc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     gram_stats = gc.groupBy("doc_id").agg(

@@ -349,3 +349,36 @@ def test_range_join_span_cap(spark):
         for r in range_join(left, right, "k", "t", "s", "e", 100, max_span_buckets=10).collect()
     }
     assert capped == {(1, 10)}  # the 2000-bucket interval is dropped whole
+
+
+def test_mix_sources_fractions_and_determinism(spark):
+    from sketchlib.relops import mix_sources
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "concat('s', CAST(id % 4 AS STRING)) AS source"
+    )
+    targets = {"s0": 0.5, "s1": 0.25, "s2": 0.25}
+    # 250 rows/source; caps = 250/0.5=500, 1000, 1000 -> N_out=500
+    # rates: s0=1.0 (bottleneck, kept whole), s1=s2=0.5, s3 dropped
+    out = mix_sources(df, targets, "CAST(doc_id AS STRING)")
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert by_src["s0"] == 250
+    assert "s3" not in by_src
+    for s in ("s1", "s2"):  # hash-thinned to ~125 (binomial, wide margin)
+        assert 90 <= by_src[s] <= 160, by_src
+    rows = sorted(r["doc_id"] for r in out.collect())
+    rows_rep = sorted(
+        r["doc_id"]
+        for r in mix_sources(df.repartition(13), targets, "CAST(doc_id AS STRING)").collect()
+    )
+    assert rows == rows_rep  # partitioning-independent row set
+
+
+def test_mix_sources_rejects_empty_targets(spark):
+    from sketchlib.relops import mix_sources
+
+    df = spark.range(3).selectExpr("id AS doc_id", "'a' AS source")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_sources(df, {}, "CAST(doc_id AS STRING)")

@@ -360,6 +360,24 @@ def main():
              lambda p: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p),
         ],
     )
+    from sketchlib.relops import mix_sources
+
+    show(
+        "mix_sources (k-row rates broadcast back; keep predicate is a projection)",
+        mix_sources(
+            docs.select("doc_id", "source"),
+            {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            "CAST(doc_id AS STRING)",
+        ),
+        checks=[
+            # the only forced broadcast is the |targets|-row rates relation
+            # (bounded by construction — the legitimate broadcast shape)
+            ("rates joined by broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("corpus never in a nested-loop side",
+             # the sole nested-loop join is the 1-row N_out scalar attach
+             lambda p: p.count("BroadcastNestedLoopJoin") <= 1),
+        ],
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     print("\nALL PLAN CHECKS PASSED")
