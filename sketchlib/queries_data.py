@@ -759,6 +759,61 @@ def source_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_oracle(budget: int = 1024) -> str:
+    vals = ", ".join(
+        f"('{s}', CAST({f!r} AS DOUBLE))" for s, f in _MIX_TARGETS.items()
+    )
+    norm = norm_text_sql("duckdb")
+    tc = token_count_sql("duckdb")
+    return f"""
+WITH keepq AS (SELECT doc_id FROM ({_gopher_oracle()}) WHERE keep),
+dd AS (
+  SELECT MIN(d.doc_id) AS doc_id FROM documents d JOIN keepq USING (doc_id)
+  GROUP BY {norm}),
+d2 AS (SELECT d.doc_id, d.source FROM documents d JOIN dd USING (doc_id)),
+t(source, tf) AS (VALUES {vals}),
+n AS (SELECT source, count(*) AS cnt FROM d2 GROUP BY 1),
+r AS (SELECT n.source, cnt, tf FROM n JOIN t USING (source)),
+nout AS (SELECT min(cnt / tf) AS nout FROM r),
+rates AS (SELECT source, tf * nout / cnt AS rate FROM r, nout),
+mixed AS (
+  SELECT d2.doc_id FROM d2 JOIN rates USING (source)
+  WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) <
+        lpad(lower(to_hex(CAST(floor(rate * 1152921504606846976) AS BIGINT))), 15, '0')),
+t2 AS (
+  SELECT m.doc_id, {tc} AS n_tokens, md5(CAST(m.doc_id AS VARCHAR)) AS k
+  FROM mixed m JOIN documents USING (doc_id)),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t2)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {budget} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % {budget} AS BIGINT) AS start_off FROM c
+"""
+
+
+@register("curation_pipeline_e2e", _curation_oracle())
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern curation flow composed from the library's stages:
+    Gopher quality gate → exact dedup (min doc_id per normalized text
+    among survivors) → domain-mixing resample → pretraining sequence
+    packing. Each stage's oracle fragment composes into one DuckDB CTE
+    chain, so the gate pins the END-TO-END row set, token counts, and bin
+    layout — not just each stage in isolation."""
+    from sketchlib.dedup import dedup_exact
+    from sketchlib.relops import mix_sources
+    from sketchlib.textops import gopher_quality_filter, pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    keep = gopher_quality_filter(docs).filter("keep").select("doc_id")
+    kept_docs = docs.join(keep, "doc_id")
+    surv = dedup_exact(kept_docs).select(F.col("keep_doc_id").alias("doc_id"))
+    surv_docs = docs.join(surv, "doc_id")
+    mixed = mix_sources(surv_docs, _MIX_TARGETS, "CAST(doc_id AS STRING)")
+    return pack_sequences(mixed, budget=1024)
+
+
 # ----------------------------------------------- relational extensions
 
 _ASOF_ORACLE = """
