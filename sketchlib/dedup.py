@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sketchlib.textops import ngram_array_expr, norm_text_sql
+from sketchlib.textops import ngram_array_expr, norm_text_sql, token_array_expr
 
 NORM_TEXT_SQL = norm_text_sql("spark")
 
@@ -61,9 +61,7 @@ def cross_doc_span_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     """
     if n < 2:
         raise ValueError("span length n must be >= 2 (use token stats for n=1)")
-    base = docs.selectExpr(
-        "doc_id", f"filter(split({NORM_TEXT_SQL}, ' '), t -> t != '') AS __a"
-    )
+    base = docs.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
     spans = base.selectExpr(
         "doc_id", f"{ngram_array_expr('__a', n)} AS __s"
     ).select("doc_id", F.explode("__s").alias("span"))
@@ -95,15 +93,15 @@ def cross_doc_span_stats(docs: DataFrame, n: int = 5) -> DataFrame:
 
 
 def _bigram_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, bigram) rows: distinct word-bigrams per document."""
+    """(doc_id, bigram) rows: distinct word-bigrams per document.
+    zip_with-built bigrams (ngram_array_expr) — the per-element-indexing
+    transform(sequence) form re-evaluates the aliased normalize+split
+    upstream O(len) times per row once the projections collapse."""
     toks = F.split(F.expr(NORM_TEXT_SQL), " ")
-    bigrams = F.expr(
-        "transform(sequence(0, size(__toks) - 2), i -> concat(__toks[i], ' ', __toks[i+1]))"
-    )
     return (
         docs.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.explode(F.expr(ngram_array_expr("__toks", 2))).alias("bigram"))
         .distinct()
     )
 
@@ -246,13 +244,10 @@ def minhash_lsh_pairs(
     # distinct-agg rewrite dedups inside the aggregation it was going to
     # run anyway, saving a full shuffle+materialization of the bigram set.
     toks = F.split(F.expr(NORM_TEXT_SQL), " ")
-    bigrams = F.expr(
-        "transform(sequence(0, size(__toks) - 2), i -> concat(__toks[i], ' ', __toks[i+1]))"
-    )
     hsets = (
         docs.select("doc_id", toks.alias("__toks"))
         .filter(F.size("__toks") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .select("doc_id", F.explode(F.expr(ngram_array_expr("__toks", 2))).alias("bigram"))
         .select("doc_id", F.xxhash64("bigram").alias("__h"))
         .cache()  # reused: signatures + verify
     )

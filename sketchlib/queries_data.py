@@ -23,6 +23,7 @@ from sketchlib.textops import (
     fingerprint_sql,
     lang_id_sql,
     norm_text_sql,
+    token_array_expr,
     quality_sql,
     rolling_fingerprint_sql,
     token_count_sql,
@@ -99,10 +100,10 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _repetition_oracle() -> str:
-    norm = norm_text_sql("duckdb")
+    ta = token_array_expr("duckdb")
     return f"""
 WITH base AS (
-  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS a
+  SELECT doc_id, {ta} AS a
   FROM documents),
 tc AS (
   SELECT doc_id, tok, count(*) AS c
@@ -137,10 +138,10 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_oracle(n: int = 5) -> str:
-    norm = norm_text_sql("duckdb")
+    ta = token_array_expr("duckdb")
     return f"""
 WITH base AS (
-  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS a
+  SELECT doc_id, {ta} AS a
   FROM documents),
 pd AS (
   SELECT doc_id, span, count(*) AS c
@@ -209,10 +210,10 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _top_terms_oracle(k: int = 3) -> str:
-    norm = norm_text_sql("duckdb")
+    ta = token_array_expr("duckdb")
     return f"""
 WITH base AS (
-  SELECT doc_id, list_filter(string_split({norm}, ' '), t -> t != '') AS a
+  SELECT doc_id, {ta} AS a
   FROM documents),
 tc AS (
   SELECT doc_id, term, count(*) AS tf

@@ -325,6 +325,11 @@ def mix_sources(
     """
     if not targets:
         raise ValueError("targets must name at least one source")
+    if any(not (float(f) > 0.0) for f in targets.values()):
+        # 0 / negative / NaN fractions would make the rate arithmetic
+        # Inf/NaN — Spark's floor(NaN) is NULL (predicate silently drops
+        # every row) while DuckDB's cast errors; fail loudly instead
+        raise ValueError("target fractions must be positive finite numbers")
     spark = df.sparkSession
     t = spark.createDataFrame(
         [(s, float(f)) for s, f in targets.items()], f"{source_col} string, __tf double"

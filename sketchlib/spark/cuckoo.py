@@ -640,20 +640,39 @@ def semi_join_via_filter(
 
     ``big_key``/``small_key`` must be the same TYPE (the probe hashing
     contract, see :func:`probe`).
+
+    Exactness guard: the filter is built from the DISTINCT key set (a
+    duplicate-keyed small side would overflow a bucket with identical
+    fingerprints and silently drop items), and the build's drop/too-full
+    counters are checked — a dropped fingerprint would be a silent false
+    negative, so it raises instead. The merged filter is localCheckpointed
+    before probing (the sizing aggregate and blob collect would otherwise
+    re-execute the build shuffle — the merge_partials precedent).
     """
-    from sketchlib.kernels.cuckoo import size_for
+    from sketchlib.kernels.cuckoo import TooFullError, size_for
 
     big_key = F.col(big_key) if isinstance(big_key, str) else big_key
     small_key = F.col(small_key) if isinstance(small_key, str) else small_key
-    n = small.count()  # sizing job over a key-pruned scan (CF.SIZEFOR)
+    keys = small.select(small_key.alias("__k")).distinct().cache()
+    n = keys.count()  # sizing job (CF.SIZEFOR) — also materializes the cache
     spec = CuckooSpec(
         name, max(size_for(max(n, 1), fpsize), 1024), fpsize, num_shards=num_shards
     )
-    merged = build_filter_direct(small, spec, key=small_key)
+    merged = build_filter_direct(keys, spec, key=F.col("__k")).localCheckpoint(
+        eager=True
+    )
+    guard = merged.agg(
+        F.sum("dropped").alias("d"), F.max("toofull").alias("t")
+    ).first()
+    if (guard["d"] or 0) > 0 or guard["t"]:
+        raise TooFullError(
+            f"semi_join_via_filter('{name}'): build dropped {guard['d']} "
+            "fingerprint(s) — the pre-filter would silently drop matching rows; "
+            "increase the filter size or fpsize"
+        )
     pre = probe_auto(
         merged, big, spec, key=big_key, broadcast_limit_bytes=broadcast_limit_bytes
     ).filter(F.col("member")).drop("member")
-    keys = small.select(small_key.alias("__k")).distinct()
     return (
         pre.withColumn("__bk", big_key)
         .join(keys, F.col("__bk") == F.col("__k"), "left_semi")

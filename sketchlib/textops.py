@@ -213,6 +213,16 @@ def with_simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+def token_array_expr(dialect: str, col: str = "text") -> str:
+    """Non-empty whitespace tokens of the normalized text, as an array —
+    the shared base of the repetition/top-terms/span operators AND their
+    DuckDB oracles (one definition, both engines)."""
+    n = norm_text_sql(dialect, col)
+    if dialect == "spark":
+        return f"filter(split({n}, ' '), t -> t != '')"
+    return f"list_filter(string_split({n}, ' '), t -> t != '')"
+
+
 def ngram_array_expr(arr: str, n: int) -> str:
     """Word n-gram array from a token-array column, built by zip_with-ing
     ``n`` shifted slices — NEVER by ``transform(sequence(...), i ->
@@ -235,8 +245,11 @@ def _rx(dialect: str, pat: str) -> str:
     return "'" + (pat.replace("\\", "\\\\") if dialect == "spark" else pat) + "'"
 
 
-#: PII scrub rules, applied in order (patterns are disjoint by construction:
-#: email needs '@', ipv4 needs dots, phone's charset has neither)
+#: PII scrub rules, applied in order. Full matches never overlap ACROSS
+#: rules (email needs '@', ipv4 needs dots, phone's charset has neither),
+#: but a SUBSTRING of an earlier rule's match can satisfy a later rule
+#: (a digit-only email local part is phone-shaped) — hence counting on
+#: the progressively-scrubbed text below.
 PII_RULES = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
@@ -246,24 +259,29 @@ PII_RULES = [
 
 def pii_scrub_sql(dialect: str, col: str = "text") -> tuple[str, list[str]]:
     """(scrubbed-text expr, per-rule match-count exprs) as portable SQL.
-    Counts are taken on the ORIGINAL text per rule (rules are disjoint);
-    replacements apply sequentially in PII_RULES order. The only dialect
-    splits are the literal-escaping rule (_rx) and DuckDB's explicit 'g'
-    flag for global replacement (Spark replaces globally by default)."""
+    Each rule's count is taken on the text AS ALREADY SCRUBBED by the
+    preceding rules, so counts equal the replacements actually performed
+    (counting on the original would double-count e.g. a phone-shaped
+    email local part that the email rule already redacted). The earlier
+    rules' replace expressions nest inside later counts — a constant
+    re-evaluation factor per row, still one codegen projection. The only
+    dialect splits are the literal-escaping rule (_rx) and DuckDB's
+    explicit 'g' flag for global replacement (Spark replaces globally by
+    default)."""
     scrub = col
     counts = []
     for name, pat, repl in PII_RULES:
         lit = _rx(dialect, pat)
         if dialect == "spark":
+            counts.append(
+                f"CAST(size(regexp_extract_all({scrub}, {lit}, 0)) AS BIGINT) AS n_{name}"
+            )
             scrub = f"regexp_replace({scrub}, {lit}, '{repl}')"
-            counts.append(
-                f"CAST(size(regexp_extract_all({col}, {lit}, 0)) AS BIGINT) AS n_{name}"
-            )
         else:
-            scrub = f"regexp_replace({scrub}, {lit}, '{repl}', 'g')"
             counts.append(
-                f"CAST(len(regexp_extract_all({col}, {lit})) AS BIGINT) AS n_{name}"
+                f"CAST(len(regexp_extract_all({scrub}, {lit})) AS BIGINT) AS n_{name}"
             )
+            scrub = f"regexp_replace({scrub}, {lit}, '{repl}', 'g')"
     return scrub, counts
 
 
@@ -293,9 +311,8 @@ def top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     window (bounded by per-doc vocabulary)."""
     from pyspark.sql import Window as W
 
-    norm = norm_text_sql("spark")
     tc = (
-        docs.selectExpr("doc_id", f"filter(split({norm}, ' '), t -> t != '') AS __a")
+        docs.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
         .select("doc_id", F.explode("__a").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -353,8 +370,7 @@ def with_repetition_stats(docs: DataFrame) -> DataFrame:
 
     Returns (doc_id, n_tokens, dup_token_frac, top_2gram_frac).
     """
-    norm = norm_text_sql("spark")
-    base = docs.selectExpr("doc_id", f"filter(split({norm}, ' '), t -> t != '') AS __a")
+    base = docs.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
     tc = (
         base.select("doc_id", F.explode("__a").alias("tok"))
         .groupBy("doc_id", "tok")

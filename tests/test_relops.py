@@ -382,3 +382,13 @@ def test_mix_sources_rejects_empty_targets(spark):
 
     with _pytest.raises(ValueError):
         mix_sources(df, {}, "CAST(doc_id AS STRING)")
+
+
+def test_mix_sources_rejects_nonpositive_fraction(spark):
+    from sketchlib.relops import mix_sources
+    import pytest as _pytest
+
+    df = spark.range(3).selectExpr("id AS doc_id", "'a' AS source")
+    for bad in ({"a": 0.0}, {"a": -0.5}, {"a": float("nan")}):
+        with _pytest.raises(ValueError):
+            mix_sources(df, bad, "CAST(doc_id AS STRING)")

@@ -248,3 +248,17 @@ def test_semi_join_via_filter_exact_at_fp8(spark):
     want = [k for k in range(5000) if k % 3 == 0 and k <= 447]
     assert got == want
     assert [f.name for f in out.schema.fields] == ["k", "payload"]
+
+
+def test_semi_join_via_filter_duplicate_keyed_small_side(spark):
+    """A small side with a key repeated far beyond bucket capacity must not
+    produce false negatives (the filter is built from the DISTINCT keys)."""
+    from sketchlib.spark.cuckoo import semi_join_via_filter
+
+    big = spark.range(0, 2000).selectExpr("id AS k")
+    # key 7 repeated 64x would overflow both buckets if inserted per-row
+    small = spark.createDataFrame(
+        [(7,)] * 64 + [(13,), (999,)], "sk long"
+    )
+    out = sorted(r["k"] for r in semi_join_via_filter(big, small, "k", "sk", fpsize=1).collect())
+    assert out == [7, 13, 999]

@@ -187,3 +187,14 @@ def test_gopher_quality_filter_rules(spark):
     assert out[0] == (True, "keep")
     assert out[1] == (False, "too_short")  # rule order: length before repetition
     assert out[2] == (False, "dup_tokens")
+
+
+def test_pii_scrub_counts_match_replacements(spark):
+    """A digit-only email local part is phone-shaped: counting on the
+    original text would double-count; counts must equal replacements."""
+    from sketchlib.textops import with_pii_scrub
+
+    df = _df(spark, ["reach me at 5551234567@example.com ok"])
+    r = with_pii_scrub(df).collect()[0]
+    assert r["scrubbed"] == "reach me at <EMAIL> ok"
+    assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 0, 0)
