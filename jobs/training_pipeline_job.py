@@ -11,7 +11,14 @@ The north-rule execution mode::
     zip -r sketchlib.zip sketchlib
     spark-submit --py-files sketchlib.zip jobs/training_pipeline_job.py \
         --input /data/documents.parquet --output /data/clean \
-        --holdout-threshold 28 --jaccard 0.5 --num-shards 4096
+        --holdout-threshold 28 --jaccard 0.5 --num-shards 4096 \
+        --gopher --pii-scrub --mix-targets src0=0.5,src1=0.3,src2=0.2
+
+Optional curation stages (off by default): ``--gopher`` adds the Gopher
+repetition quality gate after the length filter, ``--mix-targets``
+resamples survivors to target source fractions, ``--pii-scrub`` redacts
+emails/IPs/phones before packing (placeholder tokens count toward the
+budget).
 
 Every stage is a registry-oracled operator (see sketchlib/queries_data.py);
 this job only composes them. Output: ``<output>/survivors`` (doc_id +
@@ -41,6 +48,12 @@ def main(argv=None):
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--seq-budget", type=int, default=2048,
                     help="token budget per packed training sequence")
+    ap.add_argument("--gopher", action="store_true",
+                    help="also apply the Gopher repetition quality gate")
+    ap.add_argument("--pii-scrub", action="store_true",
+                    help="redact emails/IPs/phones before packing")
+    ap.add_argument("--mix-targets", default=None,
+                    help="domain mixing, e.g. 'src0=0.5,src1=0.3,src2=0.2'")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,6 +74,13 @@ def main(argv=None):
     ok = docs.selectExpr("*", f"{token_count_sql('spark')} AS __tc").filter(
         f"__tc BETWEEN {args.min_tokens} AND {args.max_tokens}"
     ).drop("__tc")
+    gopher_kept = None
+    if args.gopher:
+        from sketchlib.textops import gopher_quality_filter
+
+        gf = gopher_quality_filter(ok).filter("keep").select("doc_id")
+        ok = ok.join(gf, "doc_id", "left_semi")
+        gopher_kept = ok.count()
     # held-out split (reproducible across engines/runs) excluded from training
     held = sample_by_hash(ok, "CAST(doc_id AS STRING)", args.holdout_threshold).select("doc_id")
     train = ok.join(held, "doc_id", "left_anti")
@@ -95,10 +115,32 @@ def main(argv=None):
         .filter("NOT member")
         .count()
     )
-    # pack the surviving documents into fixed-budget training sequences
-    packed = pack_sequences(
-        kept_docs.join(survivors, "doc_id", "left_semi"), budget=args.seq_budget
-    )
+    # optional curation stages between survivor selection and packing
+    train_set = kept_docs.join(survivors, "doc_id", "left_semi")
+    mixed_rows = None
+    if args.mix_targets:
+        from sketchlib.relops import mix_sources
+
+        targets = {
+            k: float(v) for k, v in (kv.split("=") for kv in args.mix_targets.split(","))
+        }
+        train_set = mix_sources(train_set, targets, "CAST(doc_id AS STRING)")
+        mixed_rows = train_set.count()
+    pii_redactions = None
+    if args.pii_scrub:
+        from sketchlib.textops import pii_scrub_sql
+
+        scrub, counts = pii_scrub_sql("spark")
+        scrubbed = train_set.selectExpr("doc_id", f"{scrub} AS text", *counts)
+        pii_redactions = int(
+            scrubbed.agg(
+                F.sum(F.expr("n_email + n_ipv4 + n_phone")).alias("r")
+            ).first()["r"]
+            or 0
+        )
+        train_set = scrubbed.select("doc_id", "text")
+    # pack the training set into fixed-budget training sequences
+    packed = pack_sequences(train_set, budget=args.seq_budget)
     packed.write.mode("overwrite").parquet(os.path.join(args.output, "packed"))
     pk = spark.read.parquet(os.path.join(args.output, "packed")).agg(
         F.max("bin_id").alias("mb"), F.sum("n_tokens").alias("tt")
@@ -115,6 +157,12 @@ def main(argv=None):
         "bin_fill": round((pk["tt"] or 0) / max(n_bins * args.seq_budget, 1), 4),
         "seconds": round(time.time() - t0, 2),
     }
+    if gopher_kept is not None:
+        metrics["gopher_kept"] = gopher_kept
+    if mixed_rows is not None:
+        metrics["mixed_rows"] = mixed_rows
+    if pii_redactions is not None:
+        metrics["pii_redactions"] = pii_redactions
     assert fn == 0, "membership filter lost survivors"
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
         json.dump(metrics, f)
