@@ -198,3 +198,87 @@ def test_pii_scrub_counts_match_replacements(spark):
     r = with_pii_scrub(df).collect()[0]
     assert r["scrubbed"] == "reach me at <EMAIL> ok"
     assert (r["n_email"], r["n_ipv4"], r["n_phone"]) == (1, 0, 0)
+
+
+def test_repetition_and_span_stats_differential_random_corpus(spark):
+    """Differential vs a pure-Python reference over a seeded random corpus
+    (messy whitespace/case included — exercises normalization too)."""
+    import random
+    from collections import Counter
+
+    from sketchlib.dedup import cross_doc_span_stats
+    from sketchlib.textops import with_repetition_stats
+
+    rng = random.Random(1234)
+    vocab = ["Alpha", "beta", "GAMMA", "delta", "x1", "y,z", "q."]
+    texts = []
+    for _ in range(200):
+        k = rng.randint(0, 40)
+        toks = [rng.choice(vocab) for _ in range(k)]
+        sep = lambda: rng.choice([" ", "  ", "\t", " \t "])
+        texts.append(sep().join(toks) if toks else rng.choice(["", "   "]))
+    df = _df(spark, texts)
+
+    def norm_tokens(t):
+        return [w for w in t.lower().split() if w]
+
+    exp_rep, exp_span = {}, {}
+    span_docs = Counter()
+    per_doc_spans = {}
+    for i, t in enumerate(texts):
+        toks = norm_tokens(t)
+        n = len(toks)
+        uniq = len(set(toks))
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top = Counter(grams).most_common(1)[0][1] if grams else 0
+        exp_rep[i] = (
+            n,
+            (n - uniq) / n if n else 0.0,
+            top / len(grams) if grams else 0.0,
+        )
+        spans = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        per_doc_spans[i] = Counter(spans)
+        for s in set(spans):
+            span_docs[s] += 1
+    for i in range(len(texts)):
+        c = per_doc_spans[i]
+        tot = sum(c.values())
+        dup = sum(v for s, v in c.items() if span_docs[s] >= 2)
+        exp_span[i] = (tot, dup, dup / tot if tot else 0.0)
+
+    got_rep = {
+        r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_2gram_frac"])
+        for r in with_repetition_stats(df).collect()
+    }
+    assert got_rep == exp_rep
+    got_span = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["dup_span_frac"])
+        for r in cross_doc_span_stats(df, n=3).collect()
+    }
+    assert got_span == exp_span
+
+
+def test_top_terms_differential_random_corpus(spark):
+    import random
+    from collections import Counter
+
+    from sketchlib.textops import top_terms
+
+    rng = random.Random(99)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ff", "g"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))) for _ in range(120)]
+    df = _df(spark, texts)
+    tfs = [Counter(t.split()) for t in texts]
+    dfreq = Counter()
+    for c in tfs:
+        dfreq.update(set(c))
+    exp = {}
+    for i, c in enumerate(tfs):
+        ranked = sorted(((-(tf / dfreq[w]), w, tf) for w, tf in c.items()))[:3]
+        for rank, (negs, w, tf) in enumerate(ranked, 1):
+            exp[(i, rank)] = (w, tf, dfreq[w], -negs)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score"])
+        for r in top_terms(df, k=3).collect()
+    }
+    assert got == exp
