@@ -262,3 +262,22 @@ def test_semi_join_via_filter_duplicate_keyed_small_side(spark):
     )
     out = sorted(r["k"] for r in semi_join_via_filter(big, small, "k", "sk", fpsize=1).collect())
     assert out == [7, 13, 999]
+
+
+def test_semi_join_via_filter_cogrouped_branch(spark):
+    """With a 1-byte broadcast budget probe_auto must take the co-partitioned
+    probe path; the semi join result is identical to the broadcast path."""
+    from sketchlib.spark.cuckoo import semi_join_via_filter
+
+    big = spark.range(0, 3000).selectExpr("id AS k")
+    small = spark.range(0, 100).selectExpr("id * 7 AS sk")
+    want = sorted(
+        r["k"] for r in semi_join_via_filter(big, small, "k", "sk").collect()
+    )
+    got = sorted(
+        r["k"]
+        for r in semi_join_via_filter(
+            big, small, "k", "sk", broadcast_limit_bytes=1
+        ).collect()
+    )
+    assert got == want == [k for k in range(3000) if k % 7 == 0 and k <= 693]
