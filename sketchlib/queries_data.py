@@ -318,7 +318,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JACCARD_CTES = r"""toks AS (
-  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ')), ' ') AS w
+  SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
   FROM documents),
 bg AS (
   SELECT DISTINCT doc_id, bigram
@@ -989,7 +989,7 @@ def doc_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _VOCAB_ORACLE = r"""
 WITH toks AS (
-  SELECT UNNEST(string_split(trim(regexp_replace(lower(text), '\s+', ' ')), ' ')) AS token
+  SELECT UNNEST(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
   FROM documents)
 SELECT token, COUNT(*) AS n FROM toks WHERE length(token) > 0
 GROUP BY token ORDER BY n DESC, token LIMIT 100

@@ -66,14 +66,29 @@ def ws_regex(dialect: str) -> str:
     return "'\\\\s+'" if dialect == "spark" else "'\\s+'"
 
 
+def _replace_all_flag(dialect: str) -> str:
+    """DuckDB's regexp_replace substitutes only the FIRST match unless the
+    'g' flag is passed; Spark's replaces all matches by default. Without
+    this flag every ws-normalization oracle silently diverges on text with
+    more than one whitespace run — invisible on single-spaced synthetic
+    corpora, caught by tests/test_fragment_fuzz.py."""
+    return "" if dialect == "spark" else ", 'g'"
+
+
 def norm_text_sql(dialect: str, col: str = "text") -> str:
     """Whitespace-normalized lowered text."""
-    return f"trim(regexp_replace(lower({col}), {ws_regex(dialect)}, ' '))"
+    return (
+        f"trim(regexp_replace(lower({col}), {ws_regex(dialect)}, ' '"
+        f"{_replace_all_flag(dialect)}))"
+    )
 
 
 def norm_ws_sql(dialect: str, col: str = "text") -> str:
     """Whitespace-normalized text (case preserved)."""
-    return f"trim(regexp_replace({col}, {ws_regex(dialect)}, ' '))"
+    return (
+        f"trim(regexp_replace({col}, {ws_regex(dialect)}, ' '"
+        f"{_replace_all_flag(dialect)}))"
+    )
 
 
 def token_count_sql(dialect: str) -> str:

@@ -1,0 +1,143 @@
+"""Cross-engine fuzz differential: run the documents-only registry queries
+over an adversarial corpus (quotes, backslashes, regex/LIKE metachars,
+unicode incl. astral plane, messy whitespace, duplicates) in BOTH engines
+and compare the gate's own value hash. This attacks the known risk area of
+the portable-SQL design — literal escaping and unicode semantics — beyond
+what the benign synthetic testdata can exercise.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from check_oracles import TABLES, value_hash  # noqa: E402
+
+NASTY_TEXTS = [
+    'he said "hi" and \'bye\' to them',
+    "path C:\\temp\\new \\\\server\\share and \\s+ and \\n literal",
+    "a.*b (c|d) [e] {2,3} ^start end$ x+? y++",
+    "h\u00e9llo w\u00f6rld \u00e9t\u00e9 stra\u00dfe \u6f22\u5b57 \u043a\u0438\u0440\u0438\u043b\u043b\u0438\u0446\u0430",
+    "combining e\u0301 vs precomposed \u00e9 mark",
+    "a\t\tb   c  \t d",
+    "x" * 500 + " tail",
+    "",
+    "   \t  ",
+    "<p>tag</p> &amp; &lt;div&gt;",
+    "mail a.b+c@d-e.org and 10.0.0.1 and +1 555-123-4567 end",
+    "100% off _under_ like%pattern $var `tick`",
+    "spam " * 30 + "signal",
+    "the quick brown fox jumps over the lazy dog again and again",
+    "THE QUICK brown FOX jumps OVER the LAZY dog AGAIN and AGAIN",
+    "nbsp\u00a0separated\u00a0words here",
+    "semi;colon, comma. dot: colon",
+    "unicode spaces\u2009thin\u200ahair em\u2003quad",
+    "tr dotless \u0131 stays lowercase already",
+]
+#: duplicates (exact-dedup signal) + per-doc uniqueness mix
+CORPUS = NASTY_TEXTS + [NASTY_TEXTS[0], NASTY_TEXTS[13], "solo unique row"]
+
+#: documents-only queries whose fragments face the adversarial text
+FUZZ_QUERIES = [
+    "lang_id_heuristic",
+    "doc_token_count",
+    "doc_quality",
+    "doc_fingerprint",
+    "doc_token_count_bpe",
+    "doc_repetition_stats",
+    "cross_doc_span_dedup",
+    "doc_top_terms",
+    "doc_pii_scrub",
+    "quality_filter_gopher",
+    "source_mixing_sample",
+    "dedup_exact_docs",
+    "stratified_sample_per_lang",
+    "pack_sequences_2048",
+    "curation_pipeline_e2e",
+]
+
+#: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
+#: CODEPOINTS (not UTF-16 units), matching DuckDB — verified by the
+#: rolling-fingerprint parity assert below, astral emoji included.
+ASTRAL_TEXT = "emoji \U0001f600 pile \U0001f4a9 astral"
+
+#: the one pinned engine boundary: the JVM's full Unicode case mapping
+#: lowercases U+0130 (İ) to 'i' + U+0307 combining dot (TWO chars) where
+#: DuckDB's utf8proc maps it to plain 'i' — lower()-derived fragments
+#: (fingerprints, token identity) diverge on dotted-İ text.
+DOTTED_I_TEXT = "tr dotted İ case"
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzzsf")
+    langs = ["en", "de", "fr", "es", "it", "und"]
+    rows = {
+        "doc_id": list(range(len(CORPUS))),
+        "text": CORPUS,
+        "lang": [langs[i % len(langs)] for i in range(len(CORPUS))],
+        "source": [f"src{i % 4}" for i in range(len(CORPUS))],
+    }
+    pq.write_table(pa.table(rows), d / "documents.parquet")
+    for t in TABLES:
+        if t == "documents":
+            continue
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        os.symlink(src, d / f"{t}.parquet")
+    return str(d)
+
+
+def _compare(spark, sf_dir, names):
+    from sketchlib.queries import oracle_sql, queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, oracles = queries(), oracle_sql()
+    bad = []
+    for name in names:
+        s = value_hash(qs[name](spark, sf_dir))
+        o = value_hash(con.sql(oracles[name]).df())
+        if s != o:
+            bad.append((name, s[:2], o[:2]))
+    return bad
+
+
+def test_fragments_survive_adversarial_text(spark, fuzz_dir):
+    assert _compare(spark, fuzz_dir, FUZZ_QUERIES) == []
+
+
+def test_rolling_fingerprint_parity_including_astral(spark, fuzz_dir):
+    """Per-char fold parity holds on the full corpus AND on astral-plane
+    text: both engines fold codepoints, not UTF-16 units."""
+    assert _compare(spark, fuzz_dir, ["doc_rolling_fingerprint"]) == []
+    from sketchlib.textops import rolling_fingerprint_sql
+
+    sdf = spark.createDataFrame([(0, ASTRAL_TEXT)], "doc_id long, text string")
+    s_val = sdf.selectExpr(f"{rolling_fingerprint_sql('spark')} AS fp").first()["fp"]
+    con = duckdb.connect()
+    d_val = con.sql(
+        "SELECT " + rolling_fingerprint_sql("duckdb").replace("text", "'" + ASTRAL_TEXT + "'") + " AS fp"
+    ).fetchone()[0]
+    assert s_val == d_val
+
+
+def test_dotted_capital_i_lower_boundary(spark):
+    """JVM lower('İ') = 'i' + combining dot; DuckDB's = 'i'. Pinned so
+    a silent engine change (either direction) fails loudly."""
+    s_len = (
+        spark.createDataFrame([(DOTTED_I_TEXT,)], "text string")
+        .selectExpr("length(lower(text)) AS n")
+        .first()["n"]
+    )
+    d_len = duckdb.sql(
+        f"SELECT length(lower('{DOTTED_I_TEXT}')) AS n"
+    ).fetchone()[0]
+    assert s_len == d_len + 1
