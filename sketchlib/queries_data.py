@@ -264,7 +264,10 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_fingerprints",
-    "SELECT doc_id, TRUE AS impl_agree FROM documents WHERE length(trim(text)) > 0",
+    # 'has at least one token' — NOT length(trim(..)) > 0: trim strips only
+    # spaces in both engines, so whitespace-with-tabs text would count as
+    # non-empty while producing zero \s+ tokens (fuzz-gate finding)
+    r"SELECT doc_id, TRUE AS impl_agree FROM documents WHERE regexp_matches(text, '\S')",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash cross-implementation gate (the builtin_sketch_crosscheck

@@ -58,6 +58,18 @@ FUZZ_QUERIES = [
     "stratified_sample_per_lang",
     "pack_sequences_2048",
     "curation_pipeline_e2e",
+    "vocab_top100",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "simhash_fingerprints",
+    "doc_sample_deterministic",
+    "lang_source_rollup",
+    "lang_by_source_pivot",
+    "long_docs_non_english",
+    "hll_distinct_docs_per_lang",
+    "incremental_dedup_new_docs",
+    "training_pipeline_e2e",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
