@@ -407,20 +407,33 @@ _Q_ORACLE = " UNION ALL ".join(f"SELECT '{lbl}' AS qlabel, TRUE AS rank_ok" for 
 
 def _quantile_query(kind: str, params: tuple, eps: float):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sketchlib.spark.agg import SketchSpec, build_sketch
+        from sketchlib.spark.agg import SketchSpec, build_sketch, finite_values
 
-        ev = _events(spark, sf_dir)
+        # the sketch contract excludes NULL/NaN/Inf values; the exact rank
+        # check must run over the same finite population
+        ev = _events(spark, sf_dir).filter(finite_values("value"))
         sk = build_sketch(ev, SketchSpec(f"q-{kind}-val", kind, params), "value")
         n = ev.count()
         ests = {lbl: sk.quantile(q) for lbl, q in _QUANTILES}
-        # exact rank of each estimate, computed in-plan in one pass
+        # the estimate's exact rank INTERVAL [rank(<est), rank(<=est)],
+        # computed in-plan in one pass: on tied/discrete data a single
+        # value can span more mass than eps, so the correct acceptance is
+        # "target quantile falls in the interval (±eps)", which reduces to
+        # the plain |rank−q|≤eps check when values are distinct
         ranks = ev.agg(
             *[
-                (F.sum((F.col("value") <= F.lit(est)).cast("long")) / n).alias(lbl)
+                (F.sum((F.col("value") < F.lit(est)).cast("long")) / n).alias(f"{lbl}_lt")
                 for lbl, est in ests.items()
-            ]
+            ],
+            *[
+                (F.sum((F.col("value") <= F.lit(est)).cast("long")) / n).alias(f"{lbl}_le")
+                for lbl, est in ests.items()
+            ],
         ).first()
-        rows = [(lbl, bool(abs(ranks[lbl] - q) <= eps)) for lbl, q in _QUANTILES]
+        rows = [
+            (lbl, bool(ranks[f"{lbl}_lt"] - eps <= q <= ranks[f"{lbl}_le"] + eps))
+            for lbl, q in _QUANTILES
+        ]
         return spark.createDataFrame(rows, "qlabel string, rank_ok boolean")
 
     return fn
@@ -656,8 +669,11 @@ def lang_by_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "builtin_sketch_crosscheck",
+    # the whole crosscheck runs over the finite-value population (the
+    # value-sketch input contract), including the distinct count
     "SELECT COUNT(DISTINCT user_id) AS exact_distinct, TRUE AS hll_ok, "
-    "TRUE AS builtin_ok, TRUE AS kll_vs_builtin_ok FROM events",
+    "TRUE AS builtin_ok, TRUE AS kll_vs_builtin_ok FROM events "
+    "WHERE isfinite(value)",
 )
 def builtin_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Our sketches vs Spark's own approximate built-ins (SURVEY.md §2.6
@@ -667,7 +683,12 @@ def builtin_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sketchlib.spark.agg import SketchSpec, build_sketch
 
-    ev = _events(spark, sf_dir)
+    from sketchlib.spark.agg import finite_values
+
+    # value-side comparisons run over the finite population (the sketch
+    # contract); the distinct-count side keeps all rows (NULL keys are
+    # ignored by COUNT(DISTINCT) and by the sketch alike)
+    ev = _events(spark, sf_dir).filter(finite_values("value"))
     hll = build_sketch(ev, SketchSpec("xc-hll", "hll", (14,)), "user_id")
     kll = build_sketch(ev, SketchSpec("xc-kll", "kll", (256,)), "value")
     row = ev.agg(
@@ -680,13 +701,20 @@ def builtin_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound = 3 * 1.04 / np.sqrt(hll.m) + 0.01
     hll_ok = abs(hll.estimate() - row["exact"]) / max(row["exact"], 1) <= bound
     builtin_ok = abs(row["builtin_acd"] - row["exact"]) / max(row["exact"], 1) <= 0.06
-    # compare medians by rank distance through the exact distribution
+    # compare medians by rank INTERVAL through the exact distribution
+    # (tied data: a single value can span more mass than the tolerance)
     n = row["n"]
+    km, bm = F.lit(kll.quantile(0.5)), F.lit(float(row["builtin_p50"]))
     ranks = ev.agg(
-        (F.sum((F.col("value") <= F.lit(kll.quantile(0.5))).cast("long")) / n).alias("r_kll"),
-        (F.sum((F.col("value") <= F.lit(float(row["builtin_p50"]))).cast("long")) / n).alias("r_b"),
+        (F.sum((F.col("value") < km).cast("long")) / n).alias("r_kll_lt"),
+        (F.sum((F.col("value") <= km).cast("long")) / n).alias("r_kll_le"),
+        (F.sum((F.col("value") < bm).cast("long")) / n).alias("r_b_lt"),
+        (F.sum((F.col("value") <= bm).cast("long")) / n).alias("r_b_le"),
     ).first()
-    kll_ok = abs(ranks["r_kll"] - 0.5) <= 0.025 and abs(ranks["r_b"] - 0.5) <= 0.025
+    kll_ok = (
+        ranks["r_kll_lt"] - 0.025 <= 0.5 <= ranks["r_kll_le"] + 0.025
+        and ranks["r_b_lt"] - 0.025 <= 0.5 <= ranks["r_b_le"] + 0.025
+    )
     return spark.createDataFrame(
         [(row["exact"], bool(hll_ok), bool(builtin_ok), bool(kll_ok))],
         "exact_distinct long, hll_ok boolean, builtin_ok boolean, kll_vs_builtin_ok boolean",

@@ -499,16 +499,24 @@ def hll_distinct_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tdigest_median_per_type",
-    "SELECT event_type, TRUE AS rank_ok FROM events GROUP BY event_type",
+    # the sketch contract excludes NULL/NaN/Inf values, so only event types
+    # with at least one finite value carry an estimate
+    "SELECT event_type, TRUE AS rank_ok FROM events "
+    "WHERE isfinite(value) GROUP BY event_type",
 )
 def tdigest_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped quantile sketches: one t-digest per event_type (skew-safe
     two-phase build), each median estimate rank-checked against the exact
     per-group distribution in a single pass (|rank − 0.5| ≤ 0.02)."""
     from sketchlib.queries import _events
-    from sketchlib.spark.agg import SketchSpec, build_sketch_grouped, grouped_estimates
+    from sketchlib.spark.agg import (
+        SketchSpec,
+        build_sketch_grouped,
+        finite_values,
+        grouped_estimates,
+    )
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(finite_values("value"))
     spec = SketchSpec("g-td-type", "tdigest", (200,))
     grouped = build_sketch_grouped(ev, "event_type", spec, "value")
     est = {
@@ -516,17 +524,27 @@ def tdigest_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in grouped_estimates(grouped, spec, "event_type").collect()
     }
     mapping = F.create_map(*[x for k, v in est.items() for x in (F.lit(k), F.lit(v))])
+    # rank interval [rank(<est), rank(<=est)] per group: on tied data one
+    # value can span more mass than the tolerance, so the acceptance is
+    # "0.5 falls inside the interval (±eps)"
     ranks = (
         ev.groupBy("event_type")
         .agg(
             (
+                F.sum((F.col("value") < mapping[F.col("event_type")]).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("r_lt"),
+            (
                 F.sum((F.col("value") <= mapping[F.col("event_type")]).cast("long"))
                 / F.count(F.lit(1))
-            ).alias("r")
+            ).alias("r_le"),
         )
         .collect()
     )
-    rows = [(r["event_type"], bool(abs(r["r"] - 0.5) <= 0.02)) for r in ranks]
+    rows = [
+        (r["event_type"], bool(r["r_lt"] - 0.02 <= 0.5 <= r["r_le"] + 0.02))
+        for r in ranks
+    ]
     return spark.createDataFrame(rows, "event_type string, rank_ok boolean")
 
 
@@ -863,7 +881,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CAGG_ORACLE = """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
-       COUNT(*) AS n, SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS val_e3
+       COUNT(*) AS n, SUM(CASE WHEN isfinite(value) AND abs(value) <= 9.0e15 THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS val_e3
 FROM events GROUP BY 1, 2
 """
 
@@ -884,7 +902,7 @@ def hourly_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_us = ev.select(
         F.unix_micros(F.date_trunc("day", F.max(F.col("ts").cast("timestamp"))))
     ).first()[0]
-    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/rollup_hour_v1"
+    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/rollup_hour_v2"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_time_rollup(
             ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) < cutoff_us), path

@@ -229,6 +229,23 @@ def zorder_by(
     )
 
 
+#: rollup value domain: floor(v*1000) must fit a BIGINT (|v*1000| < 2^63);
+#: DuckDB's cast errors on overflow where Spark saturates, so values
+#: outside the domain are excluded identically in both engines
+_ROLLUP_VMAX = 9.0e15
+
+
+def _finite_val(col: str):
+    """Values excluded from the integerized rollup sums: NULL, NaN, ±Inf,
+    AND magnitudes whose x1000 quantization would overflow a BIGINT
+    (floor(NaN/Inf) is NULL in Spark but the out-of-range BIGINT cast
+    ERRORS in DuckDB, so the exclusion must be explicit and identical in
+    the operator and the oracle — fuzz-gate finding). Counts still include
+    the rows; only the value partial skips them."""
+    c = F.col(col).cast("double")
+    return c.isNotNull() & ~F.isnan(c) & (c >= -_ROLLUP_VMAX) & (c <= _ROLLUP_VMAX)
+
+
 def write_time_rollup(
     events: DataFrame,
     path: str,
@@ -251,7 +268,9 @@ def write_time_rollup(
         ev.groupBy("__b", key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col(val_col) * 1000).cast("long")).alias("val_e3"),
+            F.sum(
+                F.when(_finite_val(val_col), F.floor(F.col(val_col) * 1000).cast("long"))
+            ).alias("val_e3"),
         )
         .select(F.unix_micros("__b").alias("bucket_us"), key_col, "n", "val_e3")
         .write.mode("overwrite")
@@ -282,7 +301,9 @@ def continuous_agg(
         .groupBy("__b", key_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col(val_col) * 1000).cast("long")).alias("val_e3"),
+            F.sum(
+                F.when(_finite_val(val_col), F.floor(F.col(val_col) * 1000).cast("long"))
+            ).alias("val_e3"),
         )
         .select(F.unix_micros("__b").alias("bucket_us"), key_col, "n", "val_e3")
     )

@@ -35,6 +35,19 @@ SKETCH_SCHEMA = "name string, kind string, sketch binary, rows long"
 _HASH_COL = "__sk_hash"
 _VAL_COL = "__sk_val"
 
+#: largest finite double — used to exclude ±Inf portably (NaN fails any
+#: range check in both Spark and DuckDB, where NaN sorts greatest)
+DBL_MAX = 1.7976931348623157e308
+
+
+def finite_values(col):
+    """SQL-aggregate-style input contract for value-fed sketches: NULLs are
+    ignored (like SUM/AVG/percentile) and non-finite doubles (NaN/±Inf)
+    are excluded — at web scale dirty doubles otherwise poison a quantile
+    sketch's ordering/means (fuzz-gate finding). Returns a boolean Column."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    return c.isNotNull() & ~F.isnan(c) & (c >= -DBL_MAX) & (c <= DBL_MAX)
+
 #: kind -> (factory(params, seed), merge_from_blobs, input mode)
 _KINDS = {
     "bloom": (lambda p, s: BloomFilter(*p), BloomFilter.merge, "hash"),
@@ -84,10 +97,12 @@ def build_sketch_partials(df: DataFrame, spec: SketchSpec, col, col_is_hash: boo
     """
     col = F.col(col) if isinstance(col, str) else col
     if spec.mode == "hash":
+        # NULL keys are ignored, matching COUNT(DISTINCT ...) semantics —
+        # xxhash64(NULL) would otherwise count as one phantom distinct value
         expr = col.cast("long") if col_is_hash else F.xxhash64(col)
-        sel = df.select(expr.alias(_HASH_COL))
+        sel = df.where(col.isNotNull()).select(expr.alias(_HASH_COL))
     else:
-        sel = df.select(col.cast("double").alias(_VAL_COL))
+        sel = df.where(finite_values(col)).select(col.cast("double").alias(_VAL_COL))
     name, kind = spec.name, spec.kind
 
     def build(batches):
@@ -177,10 +192,12 @@ def build_sketch_grouped(
     col = F.col(col) if isinstance(col, str) else col
     if spec.mode == "hash":
         expr = col.cast("long") if col_is_hash else F.xxhash64(col)
-        sel = df.select(F.col(group_col), expr.alias(_HASH_COL))
+        sel = df.where(col.isNotNull()).select(F.col(group_col), expr.alias(_HASH_COL))
         salt = F.pmod(F.col(_HASH_COL), F.lit(salt_buckets))
     else:
-        sel = df.select(F.col(group_col), col.cast("double").alias(_VAL_COL))
+        sel = df.where(finite_values(col)).select(
+            F.col(group_col), col.cast("double").alias(_VAL_COL)
+        )
         salt = F.pmod(F.xxhash64(F.col(_VAL_COL)), F.lit(salt_buckets))
     sel = sel.withColumn("_salt", salt)
     partial_schema = f"{group_col} string, sketch binary, rows long"

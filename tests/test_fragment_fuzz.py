@@ -153,3 +153,88 @@ def test_dotted_capital_i_lower_boundary(spark):
         f"SELECT length(lower('{DOTTED_I_TEXT}')) AS n"
     ).fetchone()[0]
     assert s_len == d_len + 1
+
+
+# ----------------------------------------------- adversarial events corpus
+
+EVENT_QUERIES = [
+    "user_sessions",
+    "asof_click_attribution",
+    "range_join_promo_windows",
+    "daily_event_trend",
+    "hourly_continuous_aggregate",
+    "cms_event_type_counts",
+    "tdigest_median_per_type",
+    "tdigest_value_quantiles",
+    "kll_value_quantiles",
+    "hll_distinct_users",
+    "hll_user_overlap",
+    "builtin_sketch_crosscheck",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_dir(tmp_path_factory):
+    """events with NULL keys, NaN/±Inf/overflow values, exact timestamp
+    ties, epoch/far-future timestamps, duplicate event_ids, empty event
+    types — the dirt a 10^12-row web corpus actually contains."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzzev")
+    T = dt.datetime(2024, 1, 10, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    rows, eid = [], 0
+
+    def ev(ts, uid, et, val, props="p"):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, uid, et, val, props))
+
+    ev(T, 1, "click", 1.0)
+    ev(T, 1, "purchase", 2.0)  # click/purchase at the SAME microsecond
+    ev(T + us, 1, "click", 1.5)
+    ev(T, None, "click", 3.0)
+    ev(T + us, None, "purchase", 4.0)  # NULL user_ids
+    ev(T + 2 * us, 2, "view", float("nan"))
+    ev(T + 3 * us, 2, "view", float("inf"))
+    ev(T + 4 * us, 2, "view", -1e308)  # overflows the x1000 quantization
+    ev(T + 5 * us, 2, "view", 1e-308)
+    ev(dt.datetime(1970, 1, 1), 3, "click", 1.0)
+    ev(dt.datetime(2200, 1, 1), 3, "purchase", 1.0)
+    rows.append((1, T + 6 * us, 4, "click", 1.0, "dup"))  # duplicate event_id
+    g = dt.timedelta(minutes=30)
+    ev(T, 5, "view", 1.0)
+    ev(T + g, 5, "view", 1.0)
+    ev(T + g + g, 5, "view", 1.0)  # exact session-gap boundaries
+    ev(T, 6, "", 0.0, "日本語 'quote' \\back")
+    for i in range(300):
+        ev(
+            T + dt.timedelta(seconds=i * 7),
+            10 + i % 9,
+            ["click", "view", "purchase", "error", "signup"][i % 5],
+            (i % 13) - 6 + 0.5,
+        )
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tab, d / "events.parquet")
+    for t in TABLES:
+        if t == "events":
+            continue
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+def test_event_queries_survive_adversarial_rows(spark, fuzz_events_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert _compare(spark, fuzz_events_dir, EVENT_QUERIES) == []
