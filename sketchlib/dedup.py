@@ -372,9 +372,12 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 def _normed_embeddings(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding-as-double, norm): products fold in float64 so
     cosines are bit-identical to the DuckDB oracle's CAST(... AS DOUBLE[])
-    path (float32 products can flip 4dp roundings)."""
-    from sketchlib.similarity import as_double
+    path (float32 products can flip 4dp roundings). Invalid vectors (zero
+    norm / NaN / Inf — the embedding-operator input contract) are
+    excluded, identically in the oracles."""
+    from sketchlib.similarity import as_double, valid_embeddings
 
+    emb = valid_embeddings(emb, "embedding")
     v = as_double("embedding")
     return emb.select(
         F.col("vec_id"),

@@ -356,7 +356,8 @@ WITH pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                 CAST(b.embedding AS DOUBLE[])) AS c
-  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+    AND (isfinite(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12) AND (isfinite(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12))
 SELECT vec_a, vec_b, CAST(FLOOR(ROUND(c, 4) * 10000) AS BIGINT) AS cosine_e4
 FROM pairs WHERE c >= 0.3
 """
@@ -443,7 +444,7 @@ def _emb_lsh_oracle(threshold: float, n_planes: int = 16, bands: int = 4) -> str
         for b in range(bands)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12)),
 sig AS (SELECT vec_id, v, {bit_cols} FROM e),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -626,6 +627,7 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_topk",
     "SELECT e.vec_id FROM embeddings e "
+    "WHERE (isfinite(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12) "
     "ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
     "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 9) DESC, e.vec_id "
     "LIMIT 10",
@@ -654,7 +656,7 @@ def _ann_lsh_oracle(n_planes: int = 8, radius: int = 3, k: int = 10) -> str:
     )
     return f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12)),
 sig AS (SELECT vec_id, v, {e_bits} FROM e),
 qsig AS (SELECT {e_bits} FROM q),
 cand AS (SELECT s.vec_id, s.v FROM sig s, qsig t WHERE ({hamming}) <= {radius})
@@ -675,7 +677,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.similarity import lsh_cosine_topk_indexed, write_signature_table
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sig_path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_sig8_v1"
+    sig_path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_sig8_v2"
     if not os.path.exists(os.path.join(sig_path, "_SUCCESS")):
         write_signature_table(emb, sig_path, n_planes=8, seed=42)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
@@ -697,7 +699,7 @@ def _ann_lsh_batch_oracle(qids=(0, 11, 42), n_planes: int = 8, radius: int = 2,
     )
     ids = ", ".join(str(i) for i in qids)
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12)),
 sig AS (SELECT vec_id, v, {bits} FROM e),
 qsig AS (SELECT vec_id AS query_id, v AS qv, {bits}
          FROM (SELECT vec_id, v FROM e WHERE vec_id IN ({ids})) q(vec_id, v)),
@@ -1035,9 +1037,9 @@ def _ivf_oracle(k: int = 16, lloyd_iters: int = 2, nprobe: int = 4, topk: int = 
     parity, zero literals."""
     ctes = [
         f"""cr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-            FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+            FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12) ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
 cn0 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn FROM cr),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12))"""
     ]
     for j in range(lloyd_iters):
         ctes.append(f"""asg{j} AS (SELECT vec_id, v, cid FROM (
@@ -1091,7 +1093,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # _l2 = 2 Lloyd rounds; bump the version token on ANY centroid-rule
     # change (CLAUDE.md invariant — a stale cache silently corrupts the gate)
-    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16_l2_v1"
+    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16_l2_v2"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         write_ivf_index(emb, idx, k=16, lloyd_iters=2)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]

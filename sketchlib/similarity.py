@@ -43,6 +43,47 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+#: squared-norm ceiling for a valid embedding (norm ≤ 1e6): real encoder
+#: outputs sit orders of magnitude below; beyond it the fixed-point Lloyd
+#: quantization (floor(x·2^20), int64 sums) could overflow for large
+#: clusters, so such vectors are encoder failures by contract
+_N2_MAX = 1.0e12
+
+
+def valid_embeddings(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Input contract for every embedding operator: vectors must have a
+    FINITE, POSITIVE squared norm ≤ 1e12 — NULL/empty vectors, zero
+    vectors (cosine undefined; the normalization divides by zero under
+    ANSI), and vectors carrying NaN/Inf or absurd-magnitude components (a
+    failed encoder row at web scale) are excluded, identically in the
+    DuckDB oracles (fuzz-gate finding). The threshold tests are
+    summation-order independent (squares cannot cancel), so both engines
+    agree."""
+    n2 = F.aggregate(
+        F.transform(as_double(col), lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+    )
+    return emb.filter(
+        n2.isNotNull() & ~F.isnan(n2) & (n2 > 0) & (n2 <= F.lit(_N2_MAX))
+    )
+
+
+def valid_embedding_sql(col: str = "embedding") -> str:
+    """The same validity predicate for the DuckDB oracles."""
+    n2 = f"list_sum(list_transform(CAST({col} AS DOUBLE[]), x -> x * x))"
+    return f"(isfinite({n2}) AND {n2} > 0 AND {n2} <= 1.0e12)"
+
+
+def _require_valid_query(query_vec) -> None:
+    import math
+
+    n2 = sum(float(x) * float(x) for x in query_vec)
+    if not (math.isfinite(n2) and n2 > 0):
+        raise ValueError(
+            "query vector must have a finite positive norm (zero/NaN/Inf "
+            "vectors have no cosine neighbors)"
+        )
+
+
 def _qlit(query_vec) -> F.Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
@@ -51,6 +92,8 @@ def cosine_topk(emb: DataFrame, query_vec, k: int = 10, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k against one query vector. Rounded to 9 decimals so
     rankings are reproducible across engines/summation orders."""
+    _require_valid_query(query_vec)
+    emb = valid_embeddings(emb, vec_col)
     q = _qlit(query_vec)
     v = as_double(F.col(vec_col))
     cos = _dot(v, q) / (_norm(v) * _norm(q))
@@ -116,7 +159,10 @@ def with_lsh_signature(
     dim: int | None = None,
 ) -> DataFrame:
     """Attach the bit-packed sign-LSH signature column (computed once;
-    persist/write the result — do not recompute per query)."""
+    persist/write the result — do not recompute per query). Invalid
+    vectors (zero norm / non-finite components) are excluded — a NaN
+    component would otherwise give them an arbitrary sign signature."""
+    emb = valid_embeddings(emb, vec_col)
     planes = hyperplanes(dim or infer_dim(emb, vec_col), n_planes, seed)
     return emb.withColumn(sig_col, sig_expr(vec_col, planes))
 
@@ -169,6 +215,7 @@ def lsh_cosine_topk_indexed(
     pruning — candidate buckets only), then exact-re-score candidates.
     Precision 1; recall grows with the probe radius (tested vs brute
     force). No signature is recomputed at query time."""
+    _require_valid_query(query_vec)
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qsig = query_signature(query_vec, planes)
     ball = hamming_ball(qsig, n_planes, hamming_probe)
@@ -310,6 +357,7 @@ def kmeans_parallel_seeds(
     """
     import numpy as np
 
+    emb = valid_embeddings(emb, vec_col)
     l = oversample or 2 * k
     v = as_double(vec_col)
     nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
@@ -410,6 +458,7 @@ def write_ivf_index(
     :func:`kmeans_parallel_seeds` for larger k / skewed corpora) — refined
     by ``lloyd_iters`` in-plan k-means rounds (:func:`lloyd_refine`;
     0 = raw seeds)."""
+    emb = valid_embeddings(emb, vec_col)
     if cents is None:
         cents = ivf_centroids(emb, k, id_col, vec_col)
     if lloyd_iters:
@@ -434,6 +483,7 @@ def ivf_topk(
     assignment), read ONLY the ``nprobe`` best centroid partitions
     (directory pruning), exact-re-score candidates. Precision 1; recall
     grows with nprobe (measured vs brute force in tests)."""
+    _require_valid_query(query_vec)
     cents = spark.read.parquet(index_path + "_centroids").collect()
     q = [float(x) for x in query_vec]
 
@@ -486,6 +536,11 @@ def lsh_cosine_topk_batch(
     """
     from pyspark.sql import Window as W
 
+    # invalid vectors (zero norm / NaN / Inf) drop out on BOTH sides: an
+    # invalid query returns no rows, an invalid corpus row is never a
+    # candidate — same contract as the single-query paths
+    queries = valid_embeddings(queries, vec_col)
+    corpus = valid_embeddings(corpus, vec_col)
     if dim is None:
         rows = corpus.select(vec_col).head(1)
         if not rows:

@@ -238,3 +238,62 @@ def fuzz_events_dir(tmp_path_factory):
 def test_event_queries_survive_adversarial_rows(spark, fuzz_events_dir):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert _compare(spark, fuzz_events_dir, EVENT_QUERIES) == []
+
+
+# -------------------------------------------- adversarial embeddings corpus
+
+EMB_QUERIES = [
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_topk_batch",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_emb_dir(tmp_path_factory):
+    """embeddings with zero vectors, NaN/Inf components, absurd magnitudes
+    (failed encoder rows), exact duplicates, and a negated vector — all
+    excluded by the validity contract identically in both engines."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzzemb")
+    rng = random.Random(7)
+    DIM = 64
+    vecs = []
+
+    def v(lst, label=0):
+        vecs.append((len(vecs), [float(x) for x in lst], label))
+
+    for i in range(60):
+        v([rng.gauss(0, 1) for _ in range(DIM)], i % 4)
+    vecs.append((60, list(vecs[0][1]), 0))
+    vecs.append((61, list(vecs[1][1]), 1))  # exact duplicates
+    v([0.0] * DIM)  # zero vector: cosine undefined
+    v([1.0] * (DIM - 1) + [float("nan")])
+    v([1.0] * (DIM - 1) + [float("inf")])
+    v([1e30] * DIM)  # overflows fixed-point Lloyd quantization
+    v([1e-30] * DIM)  # tiny but valid
+    v([-x for x in vecs[2][1]], 2)  # cosine -1 partner
+    tab = pa.table(
+        {
+            "vec_id": pa.array([x[0] for x in vecs], pa.int64()),
+            "embedding": pa.array([x[1] for x in vecs], pa.list_(pa.float32())),
+            "label": pa.array([x[2] for x in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(tab, d / "embeddings.parquet")
+    for t in TABLES:
+        if t == "embeddings":
+            continue
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+def test_embedding_queries_survive_adversarial_vectors(spark, fuzz_emb_dir):
+    assert _compare(spark, fuzz_emb_dir, EMB_QUERIES) == []
