@@ -115,14 +115,22 @@ def main(argv=None):
         .filter("NOT member")
         .count()
     )
-    # optional curation stages between survivor selection and packing
-    train_set = kept_docs.join(survivors, "doc_id", "left_semi")
+    # optional curation stages between survivor selection and packing.
+    # survivors is re-read from the parquet just written so the metric
+    # actions below don't re-execute the LSH/clustering lineage (the same
+    # reuse the filter build at the 'filter' step already does)
+    train_set = kept_docs.join(
+        spark.read.parquet(os.path.join(args.output, "survivors")),
+        "doc_id",
+        "left_semi",
+    )
     mixed_rows = None
     if args.mix_targets:
         from sketchlib.relops import mix_sources
 
         targets = {
-            k: float(v) for k, v in (kv.split("=") for kv in args.mix_targets.split(","))
+            k.strip(): float(v)
+            for k, v in (kv.split("=") for kv in args.mix_targets.split(","))
         }
         train_set = mix_sources(train_set, targets, "CAST(doc_id AS STRING)")
         mixed_rows = train_set.count()

@@ -414,6 +414,10 @@ def _quantile_query(kind: str, params: tuple, eps: float):
         ev = _events(spark, sf_dir).filter(finite_values("value"))
         sk = build_sketch(ev, SketchSpec(f"q-{kind}-val", kind, params), "value")
         n = ev.count()
+        if n == 0:  # empty finite population: rank checks hold vacuously
+            return spark.createDataFrame(
+                [(lbl, True) for lbl, _ in _QUANTILES], "qlabel string, rank_ok boolean"
+            )
         ests = {lbl: sk.quantile(q) for lbl, q in _QUANTILES}
         # the estimate's exact rank INTERVAL [rank(<est), rank(<=est)],
         # computed in-plan in one pass: on tied/discrete data a single
@@ -685,9 +689,10 @@ def builtin_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sketchlib.spark.agg import finite_values
 
-    # value-side comparisons run over the finite population (the sketch
-    # contract); the distinct-count side keeps all rows (NULL keys are
-    # ignored by COUNT(DISTINCT) and by the sketch alike)
+    # the WHOLE crosscheck — distinct count included — runs over the
+    # finite-value population (matching the oracle's WHERE isfinite);
+    # NULL keys are additionally ignored by COUNT(DISTINCT) and the
+    # sketch alike
     ev = _events(spark, sf_dir).filter(finite_values("value"))
     hll = build_sketch(ev, SketchSpec("xc-hll", "hll", (14,)), "user_id")
     kll = build_sketch(ev, SketchSpec("xc-kll", "kll", (256,)), "value")

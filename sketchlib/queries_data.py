@@ -834,7 +834,12 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_docs = docs.join(keep, "doc_id")
     surv = dedup_exact(kept_docs).select(F.col("keep_doc_id").alias("doc_id"))
     surv_docs = docs.join(surv, "doc_id")
-    mixed = mix_sources(surv_docs, _MIX_TARGETS, "CAST(doc_id AS STRING)")
+    # validate=False: upstream filtering may legitimately eliminate a
+    # target source entirely — the mixing then runs over what survived
+    # (exactly what the oracle's plain join computes)
+    mixed = mix_sources(
+        surv_docs, _MIX_TARGETS, "CAST(doc_id AS STRING)", validate=False
+    )
     return pack_sequences(mixed, budget=1024)
 
 

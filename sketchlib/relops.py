@@ -322,6 +322,7 @@ def mix_sources(
     targets: dict[str, float],
     key_sql: str,
     source_col: str = "source",
+    validate: bool = True,
 ) -> DataFrame:
     """Domain-mixing resampler (the data-mixing stage of a pretraining
     pipeline): downsample each source so the output hits the ``targets``
@@ -344,18 +345,34 @@ def mix_sources(
     floor(rate·16^15) rendered as a 15-hex-char string (floor before the
     BIGINT cast — DuckDB's bare cast ROUNDS where Spark truncates).
     """
+    import math
+
     if not targets:
         raise ValueError("targets must name at least one source")
-    if any(not (float(f) > 0.0) for f in targets.values()):
-        # 0 / negative / NaN fractions would make the rate arithmetic
-        # Inf/NaN — Spark's floor(NaN) is NULL (predicate silently drops
-        # every row) while DuckDB's cast errors; fail loudly instead
+    if any(
+        not (math.isfinite(float(f)) and float(f) > 0.0) for f in targets.values()
+    ):
+        # 0 / negative / NaN / Inf fractions all corrupt the rate
+        # arithmetic into NaN (Spark's floor(NaN) is NULL — the predicate
+        # silently drops every row — while DuckDB's cast errors); fail
+        # loudly instead
         raise ValueError("target fractions must be positive finite numbers")
     spark = df.sparkSession
     t = spark.createDataFrame(
         [(s, float(f)) for s, f in targets.items()], f"{source_col} string, __tf double"
     )
     n = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    if validate:
+        # a target naming a source with zero rows (typo, ' src1' from
+        # unstripped CLI input) would otherwise silently re-allocate its
+        # mass across the others — wrong corpus, no error. Costs one
+        # extra counts aggregate; pass validate=False on hot paths.
+        missing = sorted(
+            row[0]
+            for row in t.join(n, source_col, "left_anti").select(source_col).collect()
+        )  # anti-join: the collect is bounded by |targets|, never the corpus
+        if missing:
+            raise ValueError(f"target sources have no rows: {missing}")
     r = n.join(t, source_col)
     nout = r.agg(F.min(F.col("__cnt") / F.col("__tf")).alias("__nout"))
     rates = r.crossJoin(nout).select(

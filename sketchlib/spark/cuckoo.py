@@ -653,6 +653,11 @@ def semi_join_via_filter(
 
     big_key = F.col(big_key) if isinstance(big_key, str) else big_key
     small_key = F.col(small_key) if isinstance(small_key, str) else small_key
+    # the cached key table is referenced by the returned plan, so it can't
+    # be unpersisted here; Spark's ContextCleaner releases it once the
+    # result plan is garbage-collected. Callers issuing MANY semi joins in
+    # one long session should pre-distinct/cache keys themselves and pass
+    # them as `small` to control the lifetime.
     keys = small.select(small_key.alias("__k")).distinct().cache()
     n = keys.count()  # sizing job (CF.SIZEFOR) — also materializes the cache
     spec = CuckooSpec(

@@ -92,9 +92,13 @@ def norm_ws_sql(dialect: str, col: str = "text") -> str:
 
 
 def token_count_sql(dialect: str) -> str:
+    # the empty guard tests the NORMALIZED text, not trim(text): trim
+    # strips only spaces in both engines, so tab/newline-only text would
+    # otherwise count as 1 token (fuzz-gate finding, same trap as the
+    # simhash gate predicate)
     n = norm_ws_sql(dialect)
     return (
-        f"CASE WHEN length(trim(text)) = 0 THEN 0 "
+        f"CASE WHEN length({n}) = 0 THEN 0 "
         f"ELSE CAST((length({n}) - length(replace({n}, ' ', ''))) + 1 AS BIGINT) END"
     )
 

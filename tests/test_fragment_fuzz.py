@@ -236,8 +236,12 @@ def fuzz_events_dir(tmp_path_factory):
 
 
 def test_event_queries_survive_adversarial_rows(spark, fuzz_events_dir):
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    assert _compare(spark, fuzz_events_dir, EVENT_QUERIES) == []
+    try:
+        assert _compare(spark, fuzz_events_dir, EVENT_QUERIES) == []
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 # -------------------------------------------- adversarial embeddings corpus
@@ -297,3 +301,24 @@ def fuzz_emb_dir(tmp_path_factory):
 
 def test_embedding_queries_survive_adversarial_vectors(spark, fuzz_emb_dir):
     assert _compare(spark, fuzz_emb_dir, EMB_QUERIES) == []
+
+
+def test_embedding_oracles_embed_the_current_validity_predicate():
+    """The validity predicate is inlined in the oracle SQL strings; this
+    pins each inlined copy to similarity.valid_embedding_sql so a contract
+    change (e.g. the norm ceiling) cannot silently leave oracles stale."""
+    from sketchlib.queries import oracle_sql
+    from sketchlib.similarity import valid_embedding_sql
+
+    cols = {
+        "ann_cosine_topk": ["e.embedding"],
+        "ann_lsh_topk": ["embedding"],
+        "ann_lsh_topk_batch": ["embedding"],
+        "ann_ivf_topk": ["embedding"],
+        "dedup_embedding_cosine": ["a.embedding", "b.embedding"],
+        "dedup_embedding_lsh": ["embedding"],
+    }
+    oracles = oracle_sql()
+    for name, col_list in cols.items():
+        for col in col_list:
+            assert valid_embedding_sql(col) in oracles[name], (name, col)

@@ -392,3 +392,26 @@ def test_mix_sources_rejects_nonpositive_fraction(spark):
     for bad in ({"a": 0.0}, {"a": -0.5}, {"a": float("nan")}):
         with _pytest.raises(ValueError):
             mix_sources(df, bad, "CAST(doc_id AS STRING)")
+
+
+def test_mix_sources_validates_unknown_source(spark):
+    from sketchlib.relops import mix_sources
+    import pytest as _pytest
+
+    df = spark.range(10).selectExpr("id AS doc_id", "'a' AS source")
+    with _pytest.raises(ValueError, match="no rows"):
+        mix_sources(df, {"a": 0.5, " typo": 0.5}, "CAST(doc_id AS STRING)")
+    # validate=False: the absent source's mass re-allocates (documented)
+    out = mix_sources(
+        df, {"a": 0.5, "gone": 0.5}, "CAST(doc_id AS STRING)", validate=False
+    )
+    assert out.count() == 10  # 'a' is the bottleneck, kept whole
+
+
+def test_mix_sources_rejects_inf_fraction(spark):
+    from sketchlib.relops import mix_sources
+    import pytest as _pytest
+
+    df = spark.range(3).selectExpr("id AS doc_id", "'a' AS source")
+    with _pytest.raises(ValueError):
+        mix_sources(df, {"a": float("inf")}, "CAST(doc_id AS STRING)")
