@@ -55,7 +55,11 @@ def cross_doc_span_stats(docs: DataFrame, n: int = 5) -> DataFrame:
     count_distinct in a wide agg) → span-keyed equi-join back (AQE
     skew-split applies to hot boilerplate spans; no per-doc broadcast) →
     per-doc rollup. Docs shorter than ``n`` tokens are recovered from the
-    doc spine with 0 spans.
+    doc spine with 0 spans. The per-doc span-count subtree feeds both the
+    doc-frequency aggregate and the join (exchange reuse does not fire
+    across the agg boundary, so it executes twice) — measured a wash at
+    bench scale against materializing it; at extreme scale persist or
+    localCheckpoint the (doc_id, span, c) table to halve the text scans.
 
     Returns (doc_id, n_spans, dup_spans, dup_span_frac).
     """

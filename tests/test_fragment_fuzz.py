@@ -322,3 +322,60 @@ def test_embedding_oracles_embed_the_current_validity_predicate():
     for name, col_list in cols.items():
         for col in col_list:
             assert valid_embedding_sql(col) in oracles[name], (name, col)
+
+
+def test_streaming_sessions_match_batch_on_adversarial_events(spark, fuzz_events_dir):
+    """Batch ≡ streaming sessionization parity on the DIRTY corpus too:
+    NULL user_ids, exact 30-minute gap boundaries, epoch and far-future
+    timestamps (the latter slams the watermark forward — append mode may
+    then emit most sessions, every one of which must be a batch session)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sketchlib.relops import sessionize
+
+    ev = spark.read.parquet(f"{fuzz_events_dir}/events.parquet").select("user_id", "ts")
+    batch = {
+        (r["user_id"], r["session_start_us"], r["last_ts_us"], r["n_events"])
+        for r in sessionize(ev, "user_id", "ts", "30 minutes").collect()
+    }
+    work = tempfile.mkdtemp(prefix="sketchlib-fuzz-sess-")
+    try:
+        src = os.path.join(work, "src")
+        ev.withColumn("g", F.pmod(F.xxhash64("ts"), F.lit(4))).write.partitionBy("g").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src + "/g=*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 minute")
+        )
+        agg = (
+            stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("__w"))
+            .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("__last"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("__w.start")).alias("session_start_us"),
+                F.unix_micros(F.col("__last")).alias("last_ts_us"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("fuzz_sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = {
+            (r["user_id"], r["session_start_us"], r["last_ts_us"], r["n_events"])
+            for r in spark.sql("SELECT * FROM fuzz_sess_out").collect()
+        }
+        assert emitted, "no sessions emitted"
+        assert emitted <= batch, sorted(emitted - batch)[:3]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
