@@ -415,3 +415,38 @@ def test_mix_sources_rejects_inf_fraction(spark):
     df = spark.range(3).selectExpr("id AS doc_id", "'a' AS source")
     with _pytest.raises(ValueError):
         mix_sources(df, {"a": float("inf")}, "CAST(doc_id AS STRING)")
+
+
+def test_mix_sources_differential_pure_python(spark):
+    """The rate arithmetic and 60-bit md5 thresholds are replicated in pure
+    Python float ops (same IEEE operation order) — the kept row set must
+    match exactly for several random target configurations."""
+    import hashlib
+    import random
+
+    from sketchlib.relops import mix_sources
+
+    rng = random.Random(31337)
+    rows = [(i, f"s{rng.randint(0, 5)}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    for trial in range(3):
+        srcs = rng.sample(sorted(counts), 3)
+        targets = {s: rng.choice([0.2, 0.25, 0.4, 0.5]) for s in srcs}
+        nout = min(counts[s] / targets[s] for s in srcs)
+        expected = set()
+        for doc_id, s in rows:
+            if s not in targets:
+                continue
+            rate = targets[s] * nout / counts[s]
+            thr = format(int(rate * 1152921504606846976), "x").rjust(15, "0")
+            h = hashlib.md5(str(doc_id).encode()).hexdigest()[:15]
+            if rate >= 1.0 or h < thr:
+                expected.add(doc_id)
+        got = {
+            r["doc_id"]
+            for r in mix_sources(df, targets, "CAST(doc_id AS STRING)").collect()
+        }
+        assert got == expected, (trial, targets)
