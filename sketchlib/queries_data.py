@@ -1204,15 +1204,17 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_meta(with_payload).drop("checksum")
 
 
-# the oracle slices the SAME windows with varchar substrings — valid because
-# the corpus is pure ASCII (byte offsets == char offsets; asserted below by
-# the md5 equality itself: any multibyte char would break the hash)
+# the oracle slices the HEX encoding of the payload at doubled offsets —
+# byte-exact for ANY text (a varchar substring would assume char offset ==
+# byte offset, which multibyte chars break; DuckDB has no blob slicing);
+# both sides hash the lowercased hex of the same 32 bytes
 _FRAME_ORACLE = """
-WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n, text FROM documents),
+WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+                  lower(to_hex(encode(text))) AS hx FROM documents),
 i AS (SELECT UNNEST(range(4)) AS fi)
 SELECT doc_id, CAST(fi AS INT) AS frame_idx,
        CAST((fi * GREATEST(n - 32, 0)) // 3 AS BIGINT) AS frame_off,
-       md5(substring(text, CAST((fi * GREATEST(n - 32, 0)) // 3 AS BIGINT) + 1, 32)) AS frame_md5
+       md5(substring(hx, CAST((fi * GREATEST(n - 32, 0)) // 3 AS BIGINT) * 2 + 1, 64)) AS frame_md5
 FROM f, i
 """
 
@@ -1221,15 +1223,19 @@ FROM f, i
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over binary payloads: 4 evenly-spaced 32-byte windows
     per document, one row per frame — the video/keyframe batch shape with
-    real offsets/slicing (codec-free); frames fingerprinted with md5 so the
-    oracle checks the actual sliced BYTES, not just the offsets."""
+    real offsets/slicing (codec-free); frames fingerprinted via md5 of
+    their lowercased hex so the oracle checks the actual sliced BYTES at
+    byte offsets for ANY text (multibyte included)."""
     from sketchlib.multimodal import attach_payload, frame_sample
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     with_payload = attach_payload(docs).select("doc_id", "payload")
     frames = frame_sample(with_payload, n_frames=4, frame_len=32, keep=["doc_id"])
     return frames.select(
-        "doc_id", "frame_idx", "frame_off", F.md5("frame").alias("frame_md5")
+        "doc_id",
+        "frame_idx",
+        "frame_off",
+        F.md5(F.lower(F.hex(F.col("frame")))).alias("frame_md5"),
     )
 
 

@@ -70,6 +70,9 @@ FUZZ_QUERIES = [
     "hll_distinct_docs_per_lang",
     "incremental_dedup_new_docs",
     "training_pipeline_e2e",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_resize_fit",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
@@ -379,3 +382,89 @@ def test_streaming_sessions_match_batch_on_adversarial_events(spark, fuzz_events
         assert emitted <= batch, sorted(emitted - batch)[:3]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------- adversarial relational corpus
+
+REL_QUERIES = [
+    "lineitem_pricing_summary",
+    "top_customers_by_revenue",
+    "segment_shipping_revenue",
+    "regional_supplier_volume",
+    "promo_revenue_share",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_rel_dir(tmp_path_factory):
+    """lineitem/orders extended with NULL keys/flags/dates, zero and
+    negative quantities/prices, discount 1.0, 1e12 prices, and 1970/2099
+    dates — upstream dirt the TPC-H-shaped queries must agree on."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("fuzzrel")
+    con = duckdb.connect()
+    li = con.sql(f"SELECT * FROM read_parquet('{base}/lineitem.parquet')").df()
+    od = con.sql(f"SELECT * FROM read_parquet('{base}/orders.parquet')").df()
+    T = dt.datetime(1995, 6, 1)
+    nasty_li = pd.DataFrame(
+        [
+            dict(l_orderkey=None, l_partkey=1, l_suppkey=1, l_linenumber=1,
+                 l_quantity=0.0, l_extendedprice=0.0, l_discount=0.0, l_tax=0.0,
+                 l_returnflag=None, l_linestatus="O", l_shipdate=T),
+            dict(l_orderkey=1, l_partkey=None, l_suppkey=1, l_linenumber=2,
+                 l_quantity=-5.0, l_extendedprice=-100.5, l_discount=1.0,
+                 l_tax=0.5, l_returnflag="R", l_linestatus=None, l_shipdate=None),
+            dict(l_orderkey=1, l_partkey=1, l_suppkey=None, l_linenumber=3,
+                 l_quantity=1e9, l_extendedprice=1e12, l_discount=0.9999,
+                 l_tax=0.0001, l_returnflag="", l_linestatus="",
+                 l_shipdate=dt.datetime(1970, 1, 1)),
+            dict(l_orderkey=2, l_partkey=2, l_suppkey=2, l_linenumber=4,
+                 l_quantity=0.1, l_extendedprice=0.01,
+                 l_discount=0.3333333333333333, l_tax=0.1, l_returnflag="A",
+                 l_linestatus="F", l_shipdate=dt.datetime(2099, 12, 31)),
+        ]
+    )
+    nasty_od = pd.DataFrame(
+        [
+            dict(o_orderkey=None, o_custkey=1, o_orderstatus=None,
+                 o_totalprice=-1.0, o_orderdate=None, o_orderpriority=""),
+            dict(o_orderkey=999901, o_custkey=None, o_orderstatus="F",
+                 o_totalprice=1e12, o_orderdate=dt.datetime(1970, 1, 1),
+                 o_orderpriority=None),
+            dict(o_orderkey=999902, o_custkey=1, o_orderstatus="O",
+                 o_totalprice=0.0, o_orderdate=dt.datetime(2099, 1, 1),
+                 o_orderpriority="1-URGENT"),
+        ]
+    )
+
+    def write_us(df, path):
+        # pandas emits ns timestamps, which Spark's parquet reader rejects
+        t = pa.Table.from_pandas(df)
+        fields = [
+            (f.name, pa.timestamp("us") if pa.types.is_timestamp(f.type) else f.type)
+            for f in t.schema
+        ]
+        pq.write_table(t.cast(pa.schema(fields)), path)
+
+    write_us(pd.concat([li, nasty_li], ignore_index=True), d / "lineitem.parquet")
+    write_us(pd.concat([od, nasty_od], ignore_index=True), d / "orders.parquet")
+    for t in TABLES:
+        if t in ("lineitem", "orders"):
+            continue
+        os.symlink(f"{base}/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+def test_relational_queries_survive_adversarial_rows(spark, fuzz_rel_dir):
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        assert _compare(spark, fuzz_rel_dir, REL_QUERIES) == []
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
