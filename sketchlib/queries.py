@@ -98,7 +98,12 @@ def cf_count_add_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cf_probe_after_remove_fp32",
-    "SELECT doc_id FROM documents WHERE lang <> 'en'",
+    # multiset-true: a duplicate doc_id inserts once per ROW and the 'en'
+    # rows remove once each, so an id stays member iff it has ANY non-en
+    # row — and the probe answers once per PROBE row (fuzz finding; on
+    # unique ids this reduces to WHERE lang <> 'en')
+    "SELECT d.doc_id FROM documents d "
+    "WHERE d.doc_id IN (SELECT doc_id FROM documents WHERE lang <> 'en')",
 )
 def cf_probe_after_remove_fp32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-deletion correctness end-to-end at FP32: remove the 'en' docs,

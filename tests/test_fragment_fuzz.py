@@ -468,3 +468,54 @@ def test_relational_queries_survive_adversarial_rows(spark, fuzz_rel_dir):
         assert _compare(spark, fuzz_rel_dir, REL_QUERIES) == []
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+# --------------------------------------------- adversarial doc_id corpus
+
+ID_QUERIES = [
+    "cf_membership_inserted",
+    "cf_count_add_remove",
+    "cf_probe_after_remove_fp32",
+    "cf_heldout_zero_fp32",
+    "cf_flags_after_misuse",
+    "cf_probe_cogrouped",
+    "cf_probe_auto_lowlimit",
+    "bloom_membership_docs",
+    "doc_fingerprint",
+    "dedup_exact_docs",
+    "pack_sequences_2048",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_ids_dir(tmp_path_factory):
+    """documents with negative, zero, near-2^62, and DUPLICATE doc_ids —
+    duplicates exercise the reference's multiset insert/remove semantics
+    end-to-end through the distributed filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("fuzzids")
+    ids = [-5, -1, 0, 1, 2, 2, 2, 2**62, 2**62 - 1, 7, 8, 9] + list(range(100, 110))
+    texts = (CORPUS * 2)[: len(ids)]
+    langs = ["en", "de", "fr"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": texts,
+                "lang": [langs[i % 3] for i in range(len(ids))],
+                "source": [f"src{i % 3}" for i in range(len(ids))],
+            }
+        ),
+        d / "documents.parquet",
+    )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        os.symlink(f"/root/testdata/sf0.001/{t}.parquet", d / f"{t}.parquet")
+    return str(d)
+
+
+def test_cuckoo_queries_survive_adversarial_ids(spark, fuzz_ids_dir):
+    assert _compare(spark, fuzz_ids_dir, ID_QUERIES) == []
