@@ -94,8 +94,10 @@ def main(argv=None):
         kept_docs.select("doc_id")
         .join(clusters.filter("doc_id <> cluster_id"), "doc_id", "left_anti")
     )
-    n_surv = survivors.count()
+    # write FIRST, count from the parquet — counting the lineage would
+    # execute the LSH/clustering pipeline once more before the write does
     survivors.write.mode("overwrite").parquet(os.path.join(args.output, "survivors"))
+    n_surv = spark.read.parquet(os.path.join(args.output, "survivors")).count()
 
     spec = CuckooSpec(
         "train-members",
@@ -110,8 +112,14 @@ def main(argv=None):
     )
     merged.write.mode("overwrite").parquet(os.path.join(args.output, "filter"))
     sc = ShardedCuckoo.from_df(spark.read.parquet(os.path.join(args.output, "filter")), spec)
+    # probe the written survivors parquet, not the in-memory lineage — the
+    # count would otherwise re-execute the LSH/clustering pipeline
     fn = (
-        probe(survivors.select("doc_id"), sc, key=F.col("doc_id").cast("string"))
+        probe(
+            spark.read.parquet(os.path.join(args.output, "survivors")).select("doc_id"),
+            sc,
+            key=F.col("doc_id").cast("string"),
+        )
         .filter("NOT member")
         .count()
     )

@@ -102,8 +102,10 @@ def cf_count_add_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows remove once each, so an id stays member iff it has ANY non-en
     # row — and the probe answers once per PROBE row (fuzz finding; on
     # unique ids this reduces to WHERE lang <> 'en')
-    "SELECT d.doc_id FROM documents d "
-    "WHERE d.doc_id IN (SELECT doc_id FROM documents WHERE lang <> 'en')",
+    # IS DISTINCT FROM: a NULL-lang row is NOT removed by the Spark-side
+    # lang == 'en' filter, so it must count as a surviving row here too
+    "SELECT d.doc_id FROM documents d WHERE d.doc_id IN "
+    "(SELECT doc_id FROM documents WHERE lang IS DISTINCT FROM 'en')",
 )
 def cf_probe_after_remove_fp32(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-deletion correctness end-to-end at FP32: remove the 'en' docs,
@@ -699,6 +701,11 @@ def builtin_sketch_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL keys are additionally ignored by COUNT(DISTINCT) and the
     # sketch alike
     ev = _events(spark, sf_dir).filter(finite_values("value"))
+    if not ev.head(1):  # empty finite population: checks hold vacuously
+        return spark.createDataFrame(
+            [(0, True, True, True)],
+            "exact_distinct long, hll_ok boolean, builtin_ok boolean, kll_vs_builtin_ok boolean",
+        )
     hll = build_sketch(ev, SketchSpec("xc-hll", "hll", (14,)), "user_id")
     kll = build_sketch(ev, SketchSpec("xc-kll", "kll", (256,)), "value")
     row = ev.agg(

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sketchlib.queries import _docs, register
+from sketchlib.similarity import valid_embedding_sql
 from sketchlib.textops import (
     _PAD_T,
     bpe_token_count_sql,
@@ -351,13 +352,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DOUBLE[] casts: duckdb's float32 list kernels differ from Spark's double
 # fold by ~1 ulp, which flips 4th-decimal roundings
-_EMB_DUP_ORACLE = """
+_EMB_DUP_ORACLE = f"""
 WITH pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                 CAST(b.embedding AS DOUBLE[])) AS c
   FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
-    AND (isfinite(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12) AND (isfinite(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12))
+    AND {valid_embedding_sql('a.embedding')} AND {valid_embedding_sql('b.embedding')})
 SELECT vec_a, vec_b, CAST(FLOOR(ROUND(c, 4) * 10000) AS BIGINT) AS cosine_e4
 FROM pairs WHERE c >= 0.3
 """
@@ -444,7 +445,7 @@ def _emb_lsh_oracle(threshold: float, n_planes: int = 16, bands: int = 4) -> str
         for b in range(bands)
     )
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12)),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {valid_embedding_sql('embedding')}),
 sig AS (SELECT vec_id, v, {bit_cols} FROM e),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -627,7 +628,7 @@ def training_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_cosine_topk",
     "SELECT e.vec_id FROM embeddings e "
-    "WHERE (isfinite(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12) "
+    f"WHERE {valid_embedding_sql('e.embedding')} "
     "ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
     "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 9) DESC, e.vec_id "
     "LIMIT 10",
@@ -656,7 +657,7 @@ def _ann_lsh_oracle(n_planes: int = 8, radius: int = 3, k: int = 10) -> str:
     )
     return f"""
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {valid_embedding_sql('embedding')}),
 sig AS (SELECT vec_id, v, {e_bits} FROM e),
 qsig AS (SELECT {e_bits} FROM q),
 cand AS (SELECT s.vec_id, s.v FROM sig s, qsig t WHERE ({hamming}) <= {radius})
@@ -699,7 +700,7 @@ def _ann_lsh_batch_oracle(qids=(0, 11, 42), n_planes: int = 8, radius: int = 2,
     )
     ids = ", ".join(str(i) for i in qids)
     return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12)),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {valid_embedding_sql('embedding')}),
 sig AS (SELECT vec_id, v, {bits} FROM e),
 qsig AS (SELECT vec_id AS query_id, v AS qv, {bits}
          FROM (SELECT vec_id, v FROM e WHERE vec_id IN ({ids})) q(vec_id, v)),
@@ -1042,9 +1043,9 @@ def _ivf_oracle(k: int = 16, lloyd_iters: int = 2, nprobe: int = 4, topk: int = 
     parity, zero literals."""
     ctes = [
         f"""cr AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-            FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12) ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+            FROM embeddings WHERE {valid_embedding_sql('embedding')} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
 cn0 AS (SELECT cid, list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn FROM cr),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE (isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0 AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) <= 1.0e12))"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE {valid_embedding_sql('embedding')})"""
     ]
     for j in range(lloyd_iters):
         ctes.append(f"""asg{j} AS (SELECT vec_id, v, cid FROM (

@@ -68,19 +68,28 @@ def valid_embeddings(emb: DataFrame, col: str = "embedding") -> DataFrame:
 
 
 def valid_embedding_sql(col: str = "embedding") -> str:
-    """The same validity predicate for the DuckDB oracles."""
-    n2 = f"list_sum(list_transform(CAST({col} AS DOUBLE[]), x -> x * x))"
-    return f"(isfinite({n2}) AND {n2} > 0 AND {n2} <= 1.0e12)"
+    """The same validity predicate for the DuckDB oracles. The explicit
+    no-NULL-element clause matters: DuckDB's list_sum SKIPS NULL elements
+    where Spark's aggregate fold NULL-poisons, so without it a vector like
+    [NULL, 3, 4] would pass the oracle and fail the operator."""
+    v = f"CAST({col} AS DOUBLE[])"
+    n2 = f"list_sum(list_transform({v}, x -> x * x))"
+    return (
+        f"(len(list_filter({v}, x -> x IS NULL)) = 0"
+        f" AND isfinite({n2}) AND {n2} > 0 AND {n2} <= 1.0e12)"
+    )
 
 
 def _require_valid_query(query_vec) -> None:
     import math
 
     n2 = sum(float(x) * float(x) for x in query_vec)
-    if not (math.isfinite(n2) and n2 > 0):
+    if not (math.isfinite(n2) and 0 < n2 <= _N2_MAX):
+        # same ceiling as valid_embeddings so every path (single-query,
+        # batch, indexed) enforces ONE contract
         raise ValueError(
-            "query vector must have a finite positive norm (zero/NaN/Inf "
-            "vectors have no cosine neighbors)"
+            "query vector must have a finite positive squared norm <= 1e12 "
+            "(zero/NaN/Inf/absurd-magnitude vectors have no cosine neighbors)"
         )
 
 
