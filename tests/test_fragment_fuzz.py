@@ -302,6 +302,10 @@ def fuzz_emb_dir(tmp_path_factory):
     v([1.0] * (DIM - 1) + [float("inf")])
     v([1e30] * DIM)  # overflows fixed-point Lloyd quantization
     v([1e-30] * DIM)  # tiny but valid
+    # NULL component: DuckDB's list_sum would SKIP it (vector looks valid)
+    # while Spark's fold NULL-poisons — the validity predicate's explicit
+    # no-NULL-element clause keeps both engines excluding it
+    vecs.append((len(vecs), [1.0] * (DIM - 1) + [None], 3))
     v([-x for x in vecs[2][1]], 2)  # cosine -1 partner
     tab = pa.table(
         {
