@@ -74,6 +74,9 @@ def decode_meta(df: DataFrame, payload_col: str = "payload", keep: list[str] | N
         T.StructField("checksum", T.LongType()),
     ]
     out_schema = T.StructType([df.schema[c] for c in keep] + meta_fields)
+    # NULL payloads carry nothing to decode — dropped by contract (the
+    # oracles filter text IS NOT NULL identically)
+    df = df.where(F.col(payload_col).isNotNull())
 
     def run(batches):
         for pdf in batches:
@@ -108,6 +111,10 @@ def frame_sample(
         ]
     )
     denom = max(n_frames - 1, 1)
+
+    # NULL payloads carry nothing to decode — dropped by contract (the
+    # oracles filter text IS NOT NULL identically)
+    df = df.where(F.col(payload_col).isNotNull())
 
     def run(batches):
         for pdf in batches:
@@ -152,6 +159,10 @@ def resize_fit(
         ]
     )
 
+    # NULL payloads carry nothing to decode — dropped by contract (the
+    # oracles filter text IS NOT NULL identically)
+    df = df.where(F.col(payload_col).isNotNull())
+
     def run(batches):
         for pdf in batches:
             w = pdf["width"].astype("int64")
@@ -184,6 +195,10 @@ def extract_features(
     out_schema = T.StructType(
         [df.schema[c] for c in keep] + [T.StructField("features", T.ArrayType(T.FloatType()))]
     )
+
+    # NULL payloads carry nothing to decode — dropped by contract (the
+    # oracles filter text IS NOT NULL identically)
+    df = df.where(F.col(payload_col).isNotNull())
 
     def run(batches):
         for pdf in batches:

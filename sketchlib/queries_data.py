@@ -181,7 +181,7 @@ def _pii_injected(dialect: str) -> str:
     scrub; the injection just gives the oracle nonzero signal."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
     return (
-        f"concat(text, ' contact user', CAST(doc_id AS {s}), '@example.com"
+        f"concat(coalesce(text, ''), ' contact user', CAST(doc_id AS {s}), '@example.com"
         f" or +1 555-010', CAST(doc_id % 10 AS {s}),"
         f" ' at 10.0.', CAST(doc_id % 256 AS {s}), '.', CAST(doc_id % 100 AS {s}))"
     )
@@ -552,9 +552,14 @@ def tdigest_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INCR_ORACLE = (
     "WITH seen AS (SELECT {norm} AS nt FROM documents WHERE doc_id % 2 = 0) "
-    "SELECT doc_id FROM documents "
-    "WHERE doc_id % 2 = 1 AND {norm} NOT IN (SELECT nt FROM seen)"
-).format(norm=norm_text_sql("duckdb"))
+    # NOT EXISTS + IS NOT DISTINCT FROM, never NOT IN: one NULL
+    # normalized text in the seen snapshot would empty a NOT-IN result
+    # entirely, while the filter hash treats NULL-equals-NULL
+    # (xxhash64(NULL) is a constant) - fuzz finding
+    "SELECT d.doc_id FROM documents d "
+    "WHERE d.doc_id % 2 = 1 AND NOT EXISTS "
+    "(SELECT 1 FROM seen s WHERE s.nt IS NOT DISTINCT FROM {norm2})"
+).format(norm=norm_text_sql("duckdb"), norm2=norm_text_sql("duckdb", "d.text"))
 
 
 @register("incremental_dedup_new_docs", _INCR_ORACLE)
@@ -1192,7 +1197,7 @@ def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width, "
     "CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INT) AS height, "
     "CAST(octet_length(encode(text)) % 3 + 1 AS INT) AS channels "
-    "FROM documents",
+    "FROM documents WHERE text IS NOT NULL",
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column + Arrow-batched metadata
@@ -1211,7 +1216,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both sides hash the lowercased hex of the same 32 bytes
 _FRAME_ORACLE = """
 WITH f AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
-                  lower(to_hex(encode(text))) AS hx FROM documents),
+                  lower(to_hex(encode(text))) AS hx FROM documents WHERE text IS NOT NULL),
 i AS (SELECT UNNEST(range(4)) AS fi)
 SELECT doc_id, CAST(fi AS INT) AS frame_idx,
        CAST((fi * GREATEST(n - 32, 0)) // 3 AS BIGINT) AS frame_off,
@@ -1241,7 +1246,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RESIZE_ORACLE = """
-WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+WITH m AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
 d AS (SELECT doc_id, n, n % 640 + 1 AS w, n * 7 % 480 + 1 AS h FROM m),
 r AS (SELECT *, GREATEST(w, h) AS mx FROM d),
 o AS (SELECT doc_id, n, w, h,

@@ -135,10 +135,13 @@ def rolling_fingerprint_sql(dialect: str) -> str:
             f"aggregate(transform(split({n}, ''), c -> CAST(ascii(c) AS BIGINT)), "
             f"CAST(0 AS BIGINT), (h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD})"
         )
+    # NULL guard: duckdb's list_prepend(0, NULL) yields [0] (folds to 0)
+    # where Spark's aggregate NULL-propagates — fuzz finding
     return (
+        f"CASE WHEN {n} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(string_split({n}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        f"(h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD})"
+        f"(h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD}) END"
     )
 
 

@@ -94,11 +94,14 @@ def fuzz_dir(tmp_path_factory):
 
     d = tmp_path_factory.mktemp("fuzzsf")
     langs = ["en", "de", "fr", "es", "it", "und"]
+    n = len(CORPUS)
+    # three NULL rows: NULL text (caught concat/NOT-IN/UDF traps), NULL
+    # lang, NULL source
     rows = {
-        "doc_id": list(range(len(CORPUS))),
-        "text": CORPUS,
-        "lang": [langs[i % len(langs)] for i in range(len(CORPUS))],
-        "source": [f"src{i % 4}" for i in range(len(CORPUS))],
+        "doc_id": list(range(n)) + [n, n + 1, n + 2],
+        "text": CORPUS + [None, "null lang row", "null source row"],
+        "lang": [langs[i % len(langs)] for i in range(n)] + ["en", None, "de"],
+        "source": [f"src{i % 4}" for i in range(n)] + ["src0", "src1", None],
     }
     pq.write_table(pa.table(rows), d / "documents.parquet")
     for t in TABLES:
