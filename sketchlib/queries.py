@@ -341,8 +341,10 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cms_event_type_counts",
+    # hash-fed sketches ignore NULL keys (COUNT(DISTINCT) semantics), so
+    # the truth table excludes the NULL-type group too
     "SELECT event_type, COUNT(*) AS exact_n, TRUE AS est_ok "
-    "FROM events GROUP BY event_type",
+    "FROM events WHERE event_type IS NOT NULL GROUP BY event_type",
 )
 def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min point queries vs exact GROUP BY counts: est ≥ truth and
@@ -354,7 +356,8 @@ def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     cms = build_sketch(ev, SketchSpec("q-cms-types", "cms", (2048, 5)), "event_type")
     truth = (
-        ev.groupBy("event_type")
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_n"), F.first(F.xxhash64("event_type")).alias("h"))
         .collect()
     )
@@ -607,7 +610,10 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "daily_event_trend",
-    "WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1) "
+    # NULL-ts events belong to no day (engines also order NULLs
+    # differently in windows, skewing lag/ma7 at the boundary)
+    "WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events "
+    "WHERE ts IS NOT NULL GROUP BY 1) "
     "SELECT CAST(day AS VARCHAR) AS day, n, "
     "  CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta, "
     "  CAST(AVG(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) "
@@ -619,7 +625,7 @@ def daily_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered analytic functions over it."""
     from pyspark.sql import Window as W
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(F.count(F.lit(1)).alias("n"))
     w = W.orderBy("day")
     ma = W.orderBy("day").rowsBetween(-6, 0)

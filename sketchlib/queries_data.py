@@ -473,8 +473,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_distinct_docs_per_lang",
+    # NULL group keys are dropped by the grouped sketch build (coalesce to
+    # a sentinel upstream to keep a NULL bucket)
     "SELECT lang, COUNT(DISTINCT doc_id) AS exact_distinct, TRUE AS within_bound "
-    "FROM documents GROUP BY lang",
+    "FROM documents WHERE lang IS NOT NULL GROUP BY lang",
 )
 def hll_distinct_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped sketches: one HLL per language (skew-safe two-phase build),
@@ -483,7 +485,7 @@ def hll_distinct_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sketchlib.spark.agg import SketchSpec, build_sketch_grouped, grouped_estimates
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(F.col("lang").isNotNull())
     spec = SketchSpec("g-hll-lang", "hll", (12,))
     grouped = build_sketch_grouped(docs, "lang", spec, "doc_id")
     est = {r["lang"]: r["estimate"] for r in grouped_estimates(grouped, spec, "lang").collect()}
@@ -504,7 +506,7 @@ def hll_distinct_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sketch contract excludes NULL/NaN/Inf values, so only event types
     # with at least one finite value carry an estimate
     "SELECT event_type, TRUE AS rank_ok FROM events "
-    "WHERE isfinite(value) GROUP BY event_type",
+    "WHERE isfinite(value) AND event_type IS NOT NULL GROUP BY event_type",
 )
 def tdigest_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped quantile sketches: one t-digest per event_type (skew-safe
@@ -518,7 +520,9 @@ def tdigest_median_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_estimates,
     )
 
-    ev = _events(spark, sf_dir).filter(finite_values("value"))
+    ev = _events(spark, sf_dir).filter(
+        finite_values("value") & F.col("event_type").isNotNull()
+    )
     spec = SketchSpec("g-td-type", "tdigest", (200,))
     grouped = build_sketch_grouped(ev, "event_type", spec, "value")
     est = {
@@ -852,8 +856,10 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------- relational extensions
 
 _ASOF_ORACLE = """
-WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-purch AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL),
+purch AS (SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL)
 SELECT c.event_id, c.user_id,
        CAST(epoch_us(c.ts) AS BIGINT) AS click_ts_us,
        p.event_id AS purchase_event_id,
@@ -895,7 +901,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAGG_ORACLE = """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
        COUNT(*) AS n, SUM(CASE WHEN isfinite(value) AND abs(value) <= 9.0e15 THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS val_e3
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -983,7 +989,8 @@ WITH x AS (
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 s AS (SELECT user_id, ts,
              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
                             ROWS UNBOUNDED PRECEDING) AS sid

@@ -32,12 +32,17 @@ def asof_join(
     the key, exactly like a co-partitioned merge join; skewed keys take
     the same salting treatment as any keyed aggregation.
 
-    ``right`` must be unique per (key, right_ts) — pre-aggregate if not
+    Rows with a NULL timestamp are dropped on both sides (a NULL left ts
+    has no "prior", a NULL right ts can never be one; engines also order
+    NULLs differently). ``right`` must be unique per (key, right_ts) —
+    pre-aggregate if not
     (ambiguous ties have no canonical winner in any engine). Right columns
     MAY be NULL: the matched row's values are carried as one struct, so a
     NULL field never stitches values from different right rows, and match
     existence is the struct's (row-level) non-nullness.
     """
+    left = left.where(F.col(left_ts).isNotNull())
+    right = right.where(F.col(right_ts).isNotNull())
     lcols = left.columns
     # the matched right row travels as ONE struct column: last(ignorenulls)
     # over the struct skips left rows (struct NULL) but carries a matched
@@ -95,8 +100,12 @@ def sessionize(
 
     Returns (key, session_start, last_ts, n_events) with timestamps as
     epoch microseconds (cross-engine hash-stable). One shuffle on the key.
+    NULL-timestamp events belong to no session and are dropped (the SQL
+    aggregate contract; engines also order NULLs differently in windows).
     """
-    ev = events.withColumn("__ts", F.col(ts_col).cast("timestamp"))
+    ev = events.withColumn("__ts", F.col(ts_col).cast("timestamp")).where(
+        F.col("__ts").isNotNull()
+    )
     return (
         ev.groupBy(key, F.session_window("__ts", gap).alias("__w"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.max("__ts").alias("__last"))

@@ -190,6 +190,10 @@ def build_sketch_grouped(
     stages are ``applyInPandas`` over short keys; sketch blobs are the only
     wide values that shuffle."""
     col = F.col(col) if isinstance(col, str) else col
+    # NULL group keys are dropped: the sketch table is keyed by the group
+    # value, and a NULL key breaks downstream estimate maps — callers
+    # wanting a NULL bucket should coalesce to a sentinel first
+    df = df.where(F.col(group_col).isNotNull())
     if spec.mode == "hash":
         expr = col.cast("long") if col_is_hash else F.xxhash64(col)
         sel = df.where(col.isNotNull()).select(F.col(group_col), expr.alias(_HASH_COL))

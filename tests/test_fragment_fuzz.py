@@ -231,6 +231,10 @@ def fuzz_events_dir(tmp_path_factory):
     ev(T + g, 5, "view", 1.0)
     ev(T + g + g, 5, "view", 1.0)  # exact session-gap boundaries
     ev(T, 6, "", 0.0, "日本語 'quote' \\back")
+    # NULL ts (no session/day/bucket) and NULL event_type (no sketch key)
+    rows.append((9001, None, 1, "click", 1.0, "p"))
+    rows.append((9002, dt.datetime(2024, 1, 11), None, None, 2.0, None))
+    rows.append((9003, None, 42, None, None, "p"))
     for i in range(300):
         ev(
             T + dt.timedelta(seconds=i * 7),
