@@ -119,9 +119,9 @@ def frame_sample(
     def run(batches):
         for pdf in batches:
             outs = []
+            n = pdf[payload_col].str.len().astype("int64")  # loop-invariant
             for i in range(n_frames):
                 part = pdf[keep].copy()
-                n = pdf[payload_col].str.len().astype("int64")
                 off = (i * (n - frame_len).clip(lower=0)) // denom
                 part["frame_idx"] = np.int32(i)
                 part["frame_off"] = off

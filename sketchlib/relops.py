@@ -41,8 +41,11 @@ def asof_join(
     NULL field never stitches values from different right rows, and match
     existence is the struct's (row-level) non-nullness.
     """
-    left = left.where(F.col(left_ts).isNotNull())
-    right = right.where(F.col(right_ts).isNotNull())
+    # NULL keys have no join partner (SQL join semantics — DuckDB's ASOF
+    # equality never matches NULL, while a window partition WOULD group
+    # NULL keys together); NULL timestamps have no ordering position
+    left = left.where(F.col(key).isNotNull() & F.col(left_ts).isNotNull())
+    right = right.where(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     lcols = left.columns
     # the matched right row travels as ONE struct column: last(ignorenulls)
     # over the struct skips left rows (struct NULL) but carries a matched

@@ -136,9 +136,11 @@ def rolling_fingerprint_sql(dialect: str) -> str:
             f"CAST(0 AS BIGINT), (h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD})"
         )
     # NULL guard: duckdb's list_prepend(0, NULL) yields [0] (folds to 0)
-    # where Spark's aggregate NULL-propagates — fuzz finding
+    # where Spark's aggregate NULL-propagates — fuzz finding. Guard on the
+    # RAW column (norm NULL-propagates, so they agree) to avoid paying the
+    # regex normalization twice per row
     return (
-        f"CASE WHEN {n} IS NULL THEN NULL ELSE "
+        "CASE WHEN text IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(string_split({n}, ''), c -> CAST(ascii(c) AS BIGINT))), "
         f"(h, c) -> (h * {_ROLL_BASE} + c) % {_ROLL_MOD}) END"

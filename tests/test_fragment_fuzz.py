@@ -217,8 +217,11 @@ def fuzz_events_dir(tmp_path_factory):
     ev(T, 1, "click", 1.0)
     ev(T, 1, "purchase", 2.0)  # click/purchase at the SAME microsecond
     ev(T + us, 1, "click", 1.5)
-    ev(T, None, "click", 3.0)
-    ev(T + us, None, "purchase", 4.0)  # NULL user_ids
+    # NULL user_ids — purchase BEFORE click: a window partition would
+    # group NULL keys and emit an as-of match, DuckDB's ASOF equality
+    # never matches NULL; the operator drops NULL-key rows by contract
+    ev(T, None, "purchase", 4.0)
+    ev(T + us, None, "click", 3.0)
     ev(T + 2 * us, 2, "view", float("nan"))
     ev(T + 3 * us, 2, "view", float("inf"))
     ev(T + 4 * us, 2, "view", -1e308)  # overflows the x1000 quantization
