@@ -768,13 +768,74 @@ def sketch_semi_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi_join_via_filter(ev, cust, "user_id", "c_custkey")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+#: Driver-gate rotation (VERDICT r3 #1). The driver checks at most the
+#: FIRST 50 entries of queries() against their oracles; the registry holds
+#: 68. _GATE_FRONT pulls the 18 entries that fell past the r1-r3 cutoff
+#: (10 of which had never been driver-gated) to the head so CORRECTNESS_r4
+#: records a hard green row for each; _GATE_DEFERRED pushes 18 long-stable
+#: cuckoo/sketch entries past the cutoff — they remain fully covered by
+#: tools/check_oracles.py (which runs ALL entries) and pytest, and
+#: cf_membership_inserted additionally stays smoke-checked via entry().
+_GATE_FRONT = [
+    "ann_lsh_topk_batch",
+    "stratified_sample_per_lang",
+    "source_mixing_sample",
+    "curation_pipeline_e2e",
+    "asof_click_attribution",
+    "hourly_continuous_aggregate",
+    "range_join_promo_windows",
+    "dedup_clusters_star",
+    "user_sessions",
+    "doc_sample_deterministic",
+    "vocab_top100",
+    "ann_ivf_topk",
+    "pack_sequences_2048",
+    "sink_roundtrip_jsonl",
+    "sink_roundtrip_csv",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_resize_fit",
+]
+_GATE_DEFERRED = [
+    "cf_membership_inserted",
+    "cf_count_add_remove",
+    "cf_probe_after_remove_fp32",
+    "cf_heldout_zero_fp32",
+    "cf_sizing_math",
+    "cf_probe_cogrouped",
+    "cf_probe_auto_lowlimit",
+    "cf_flags_after_misuse",
+    "bloom_membership_docs",
+    "hll_distinct_users",
+    "cms_event_type_counts",
+    "hll_user_overlap",
+    "kll_value_quantiles",
+    "tdigest_value_quantiles",
+    "builtin_sketch_crosscheck",
+    "source_counts_salted",
+    "hll_distinct_docs_per_lang",
+    "tdigest_median_per_type",
+]
+
+
+def gate_order() -> list[str]:
+    """Registry names in driver-gate order: rotated-in entries first, the
+    rest in registration order, long-stable deferred entries last. Every
+    registered name appears exactly once (tested)."""
     import sketchlib.queries_data  # noqa: F401 — registers pipeline queries
 
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    head = [n for n in _GATE_FRONT if n in REGISTRY]
+    tail = [n for n in _GATE_DEFERRED if n in REGISTRY]
+    placed = set(head) | set(tail)
+    mid = [n for n in REGISTRY if n not in placed]
+    return head + mid + tail
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: REGISTRY[name][0] for name in gate_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    import sketchlib.queries_data  # noqa: F401 — registers pipeline queries
-
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: REGISTRY[name][1] for name in gate_order() if REGISTRY[name][1] is not None
+    }

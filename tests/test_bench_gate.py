@@ -49,3 +49,25 @@ def test_band_edges_inclusive():
     assert bench.scaling_rep_ok(r)
     # control exactly at the floor is accepted (normalized in band)
     assert bench.scaling_rep_ok(rep(1000, 2000, 1200, 2000))   # mp .25, norm 1.2
+
+
+def test_driver_gate_order_covers_rotated_entries():
+    """VERDICT r3 #1: the driver checks only the first 50 queries() entries;
+    the rotation must land every previously-ungated entry inside that
+    window, keep name->fn/oracle pairing intact, and cover each registered
+    name exactly once."""
+    import sketchlib.queries as q
+
+    order = q.gate_order()
+    assert sorted(order) == sorted(q.REGISTRY)          # a permutation
+    gated = set(order[:50])
+    for name in q._GATE_FRONT:
+        assert name in gated, name
+    # deferred entries sit past the cutoff but are still registered
+    for name in q._GATE_DEFERRED:
+        assert name in order[50:], name
+    qs, osql = q.queries(), q.oracle_sql()
+    assert list(qs) == order
+    for name in osql:
+        assert osql[name] == q.REGISTRY[name][1]
+        assert qs[name] is q.REGISTRY[name][0]
