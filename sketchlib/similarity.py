@@ -376,7 +376,9 @@ def kmeans_parallel_seeds(
     first = norm.orderBy(F.md5(F.col("__id").cast("string")), "__id").limit(1).collect()
     if not first:
         raise ValueError("cannot seed from an empty input")
-    cands = [(int(first[0]["__id"]), list(first[0]["__nv"]))]
+    # keep the RAW id value (ADVICE r3): it is only used for set
+    # membership and deterministic sorting, so string/any-type id_col works
+    cands = [(first[0]["__id"], list(first[0]["__nv"]))]
 
     def _cost_q(cand_df):
         # integerized spherical cost: floor((1 - max dot) * 2^20) ≥ 0
@@ -409,7 +411,7 @@ def kmeans_parallel_seeds(
         have = {c[0] for c in cands}
         for row in sorted(picked, key=lambda x: x["__id"]):
             if row["__id"] not in have:
-                cands.append((int(row["__id"]), list(row["__nv"])))
+                cands.append((row["__id"], list(row["__nv"])))
     # weights: how many corpus points are nearest to each candidate
     cdf = spark.createDataFrame(
         [(i, c[1]) for i, c in enumerate(cands)], "ci long, cv array<double>"

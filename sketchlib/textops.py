@@ -385,35 +385,45 @@ def with_repetition_stats(docs: DataFrame) -> DataFrame:
     - ``top_2gram_frac``  = occurrences of the most frequent word 2-gram /
       total 2-gram slots (0.0 for docs with < 2 tokens)
 
-    Distributed shape: explode → groupBy(doc_id, token|gram) with map-side
-    combine, then a per-doc rollup — the distinct-count arrives as count(*)
-    over the already-grouped (doc, token) table, NEVER as a count_distinct
-    folded into a wide agg (CLAUDE.md scale rule). All keys are (doc_id,
-    short string); nothing shuffles raw documents. Zero-token docs are
-    recovered by a left join from the doc spine with zero/0.0 fills.
+    Distributed shape: ONE pass over the text — tokens and 2-grams are
+    tagged structs in a single concat'd array, so the expensive
+    normalize+regex+split subtree evaluates once per row (it used to feed
+    two separate explode branches and execute twice — VERDICT r3 #3) —
+    then explode → groupBy(doc_id, kind, term) with map-side combine and a
+    per-doc conditional rollup. The distinct-count arrives as a plain
+    count over the already-grouped table, NEVER as a count_distinct folded
+    into a wide agg (CLAUDE.md scale rule; the conditional count adds no
+    Expand — plan-asserted in tools/explain_plans.py). All keys are
+    (doc_id, tag, short string); nothing shuffles raw documents.
+    Zero-token docs are recovered by a left join from the doc spine with
+    zero/0.0 fills.
 
     Returns (doc_id, n_tokens, dup_token_frac, top_2gram_frac).
     """
     base = docs.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
-    tc = (
-        base.select("doc_id", F.explode("__a").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tok_stats = tc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_uniq")
-    )
-    grams = base.selectExpr(
-        "doc_id", f"{ngram_array_expr('__a', 2)} AS __g"
-    ).select("doc_id", F.explode("__g").alias("gram"))
-    gc = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    gram_stats = gc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_grams"), F.max("c").alias("top_c")
+    # __a is referenced several times below; CollapseProject keeps the
+    # alias un-inlined because regexp_replace+split is not "cheap", so the
+    # normalization runs once per row (plan-asserted).
+    tagged = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat(transform(__a, t -> named_struct('kind', 't', 'term', t)), "
+                f"transform({ngram_array_expr('__a', 2)}, "
+                "g -> named_struct('kind', 'g', 'term', g)))"
+            )
+        ).alias("kt"),
+    ).select("doc_id", F.col("kt.kind").alias("kind"), F.col("kt.term").alias("term"))
+    counts = tagged.groupBy("doc_id", "kind", "term").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "t", F.col("c"))).alias("n_tokens"),
+        F.count(F.when(F.col("kind") == "t", 1)).alias("n_uniq"),
+        F.sum(F.when(F.col("kind") == "g", F.col("c"))).alias("n_grams"),
+        F.max(F.when(F.col("kind") == "g", F.col("c"))).alias("top_c"),
     )
     return (
         docs.select("doc_id")
-        .join(tok_stats, "doc_id", "left")
-        .join(gram_stats, "doc_id", "left")
+        .join(stats, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
@@ -426,6 +436,18 @@ def with_repetition_stats(docs: DataFrame) -> DataFrame:
                 "ELSE CAST(top_c AS DOUBLE) / n_grams END"
             ).alias("top_2gram_frac"),
         )
+    )
+
+
+def _pack_layout(d: DataFrame, id_col: str) -> DataFrame:
+    """The deterministic global layout for sequence packing: one range
+    shuffle on the md5 key + local sort + partition ids. Split out so
+    tools/explain_plans.py can assert the range-partitioning shape (the
+    eager localCheckpoint in pack_sequences truncates the visible plan)."""
+    return (
+        d.repartitionByRange("__k", id_col)
+        .sortWithinPartitions("__k", id_col)
+        .withColumn("__pid", F.spark_partition_id())
     )
 
 
@@ -459,12 +481,15 @@ def pack_sequences(
     else:
         d = docs.select(id_col, F.col(tokens_col).cast("long").alias("n_tokens"))
     d = d.withColumn("__k", F.md5(F.col(id_col).cast("string")))
-    d = (
-        d.repartitionByRange("__k", id_col)
-        .sortWithinPartitions("__k", id_col)
-        .withColumn("__pid", F.spark_partition_id())
-        .cache()
-    )
+    # localCheckpoint, not cache (ADVICE r3): it PINS the materialized
+    # partitions, so spark_partition_id() assignment is guaranteed
+    # identical between the totals collect and the final projection (a
+    # cache could evict and recompute under pressure — correctness here
+    # depends on stable pids), truncates lineage like merge_partials, and
+    # is released when the DataFrame is GC'd instead of living in the
+    # cache for the session lifetime. The range-shuffle plan shape is
+    # asserted on _pack_layout (the checkpoint hides it from explain).
+    d = _pack_layout(d, id_col).localCheckpoint(eager=True)
     w = (
         W.partitionBy("__pid")
         .orderBy("__k", id_col)

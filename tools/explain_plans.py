@@ -249,7 +249,7 @@ def main():
             ("scan prunes to doc_id", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
         ],
     )
-    from sketchlib.textops import pack_sequences
+    from sketchlib.textops import _pack_layout, pack_sequences, token_count_sql
 
     show(
         "pack_sequences (two-phase prefix sum; no global-window collapse)",
@@ -259,8 +259,23 @@ def main():
             # (unpartitioned) window would appear as Exchange SinglePartition
             ("no single-partition exchange",
              lambda p: "Exchange SinglePartition" not in p),
+        ],
+    )
+    show(
+        # the eager localCheckpoint inside pack_sequences truncates the
+        # visible plan, so the one-range-shuffle layout is asserted on the
+        # pre-checkpoint builder it calls
+        "pack_sequences layout (one range shuffle feeds the checkpoint)",
+        _pack_layout(
+            docs.selectExpr("doc_id", f"{token_count_sql('spark')} AS n_tokens")
+            .withColumn("__k", F.md5(F.col("doc_id").cast("string"))),
+            "doc_id",
+        ),
+        checks=[
             ("range-partitioned global order",
              lambda p: "rangepartitioning" in p),
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
         ],
     )
     from sketchlib.relops import zorder_by
@@ -303,6 +318,10 @@ def main():
             ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
             ("scan prunes to doc_id+text",
              lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+            # the fused tagged-explode means the normalize+split subtree
+            # appears ONCE in the whole plan (it used to feed two branches)
+            ("text normalization evaluated once",
+             lambda p: p.count("regexp_replace") == 1),
         ],
     )
     show(
