@@ -1093,7 +1093,7 @@ LIMIT {topk}
     )
 
 
-_IVF_ORACLE = _ivf_oracle()
+_IVF_ORACLE = _ivf_oracle(nprobe=12)
 
 
 @register("ann_ivf_topk", _IVF_ORACLE)
@@ -1103,19 +1103,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid → probe reads only the nprobe best partitions → exact
     re-score. The oracle re-derives the ENTIRE pipeline (seeding, Lloyd
     rounds, assignment argmax, probe ranking, re-score) in DuckDB SQL —
-    algorithm-level parity with zero literals."""
+    algorithm-level parity with zero literals.
+
+    nprobe=12/16 is the measured recall@10 ≥ 0.9 operating point on this
+    corpus (VERDICT r3 #4; sf0.1: 0.975, sf0.01: 0.94 over fixed query
+    panels — the synthetic embeddings carry little cluster structure, so
+    high absolute recall needs a high probed fraction; the quantizer still
+    lifts recall well above the probed-fraction baseline, e.g. 0.825 vs
+    0.50 at nprobe=8). Sweep + multi-assignment simulation recorded in
+    SURVEY §10."""
     import os
 
     from sketchlib.similarity import ivf_topk, write_ivf_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # _l2 = 2 Lloyd rounds; bump the version token on ANY centroid-rule
-    # change (CLAUDE.md invariant — a stale cache silently corrupts the gate)
+    # change (CLAUDE.md invariant — a stale cache silently corrupts the
+    # gate). nprobe is probe-time only — it does not touch the cached
+    # index, so no version bump on nprobe changes.
     idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16_l2_v2"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         write_ivf_index(emb, idx, k=16, lloyd_iters=2)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return ivf_topk(spark, idx, qvec, k=10, nprobe=4).select("vec_id")
+    return ivf_topk(spark, idx, qvec, k=10, nprobe=12).select("vec_id")
 
 
 _PACK_ORACLE = (

@@ -82,16 +82,24 @@ def test_ivf_topk_recall_and_pruning(spark, emb, emb_np, tmp_path):
     stored = spark.read.parquet(idx)
     assert stored.count() == len(ids)
     assert stored.select("centroid").distinct().count() <= 16
-    recalls, recalls0 = [], []
+    recalls, recalls0, recalls12 = [], [], []
     for qi in (0, 11, 42, 7, 23):
         q = mat[qi].tolist()
         exact = _exact_topk(ids, mat, q, 10)
         got = {r["vec_id"] for r in ivf_topk(spark, idx, q, k=10, nprobe=4).collect()}
         got0 = {r["vec_id"] for r in ivf_topk(spark, idx0, q, k=10, nprobe=4).collect()}
+        got12 = {r["vec_id"] for r in ivf_topk(spark, idx, q, k=10, nprobe=12).collect()}
         assert got <= set(ids.tolist())
         recalls.append(len(got & exact) / 10)
         recalls0.append(len(got0 & exact) / 10)
+        recalls12.append(len(got12 & exact) / 10)
     assert np.mean(recalls) >= 0.5, recalls
+    # nprobe=12 is the documented ≥0.9-recall operating point (VERDICT r3
+    # #4; measured 0.94 on this corpus, 0.975 at sf0.1) — the registry's
+    # ann_ivf_topk probes at this setting
+    assert np.mean(recalls12) >= 0.9, recalls12
+    # probing more lists can only help (supersets of candidates)
+    assert np.mean(recalls12) >= np.mean(recalls), (recalls12, recalls)
     # Lloyd refinement must not lose recall vs the raw sampled seeds
     # (VERDICT r2 #7: refined quantizer ≥ current at nprobe=4)
     assert np.mean(recalls) >= np.mean(recalls0), (recalls, recalls0)
