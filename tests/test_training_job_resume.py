@@ -1,0 +1,141 @@
+"""Kill/resume for the composed training-pipeline job (VERDICT r3 #6 — the
+100-TB operational story, job-level): a run killed right after a stage
+commits must resume, skip the committed stages, and produce outputs
+byte-identical to an uninterrupted run. Runs the real spark-submit entry
+point (``python jobs/training_pipeline_job.py`` — spark-submit's python
+path) as subprocesses with deterministic crash injection
+(SKETCHLIB_PIPELINE_FAIL_AFTER)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JOB = os.path.join(REPO, "jobs", "training_pipeline_job.py")
+INPUT = "/root/testdata/sf0.001/documents.parquet"
+
+
+def run_job(out, ck=None, fail_after=None, extra=()):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # small-session knobs so three subprocess JVMs stay fast
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        "--master local[4] --conf spark.sql.shuffle.partitions=8 "
+        "--conf spark.ui.enabled=false --conf spark.sql.session.timeZone=UTC "
+        "pyspark-shell"
+    )
+    if fail_after:
+        env["SKETCHLIB_PIPELINE_FAIL_AFTER"] = fail_after
+    else:
+        env.pop("SKETCHLIB_PIPELINE_FAIL_AFTER", None)
+    cmd = [
+        sys.executable, JOB,
+        "--input", INPUT, "--output", out,
+        "--num-shards", "2", "--seq-budget", "512", *extra,
+    ]
+    if ck:
+        cmd += ["--checkpoint", ck]
+    return subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=420)
+
+
+def read_sorted(spark, path, cols):
+    df = spark.read.parquet(path)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_kill_after_each_stage_then_resume_byte_identical(spark, tmp_path):
+    ref_out = str(tmp_path / "ref")
+    r = run_job(ref_out)  # uninterrupted, no checkpointing at all
+    assert r.returncode == 0, r.stderr[-4000:]
+    ref_metrics = json.loads(r.stdout.strip().splitlines()[-1])
+
+    out = str(tmp_path / "resumed")
+    ck = str(tmp_path / "ck")
+    # crash right after the survivors stage commits...
+    r1 = run_job(out, ck=ck, fail_after="survivors")
+    assert r1.returncode == 17, (r1.returncode, r1.stderr[-2000:])
+    assert os.path.exists(os.path.join(out, "survivors", "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "metrics.json"))
+    # ...then again right after the filter stage commits...
+    r2 = run_job(out, ck=ck, fail_after="filter")
+    assert r2.returncode == 17, (r2.returncode, r2.stderr[-2000:])
+    assert os.path.exists(os.path.join(out, "filter", "_SUCCESS"))
+    # ...then resume to completion
+    r3 = run_job(out, ck=ck)
+    assert r3.returncode == 0, r3.stderr[-4000:]
+    metrics = json.loads(r3.stdout.strip().splitlines()[-1])
+    # the final run skipped the two committed stages
+    assert metrics["resumed_stages"] == ["survivors", "filter"]
+
+    # metrics identical bar timing/resume bookkeeping
+    drop = {"seconds", "resumed_stages"}
+    assert {k: v for k, v in metrics.items() if k not in drop} == {
+        k: v for k, v in ref_metrics.items() if k not in drop
+    }
+
+    # outputs identical to the uninterrupted run: survivors row set,
+    # packed assignment, and the filter blobs BYTE-identical (canonical
+    # merge: direct build vs checkpointed partial build)
+    assert read_sorted(spark, os.path.join(out, "survivors"), ["doc_id"]) == read_sorted(
+        spark, os.path.join(ref_out, "survivors"), ["doc_id"]
+    )
+    pcols = ["doc_id", "n_tokens", "bin_id", "start_off"]
+    assert read_sorted(spark, os.path.join(out, "packed"), pcols) == read_sorted(
+        spark, os.path.join(ref_out, "packed"), pcols
+    )
+    ref_blobs = {
+        r["shard"]: bytes(r["sketch"])
+        for r in spark.read.parquet(os.path.join(ref_out, "filter")).collect()
+    }
+    got_blobs = {
+        r["shard"]: bytes(r["sketch"])
+        for r in spark.read.parquet(os.path.join(out, "filter")).collect()
+    }
+    assert got_blobs == ref_blobs
+
+    # idempotent re-run of a COMPLETE pipeline: everything skips
+    r4 = run_job(out, ck=ck)
+    assert r4.returncode == 0, r4.stderr[-4000:]
+    m4 = json.loads(r4.stdout.strip().splitlines()[-1])
+    assert m4["resumed_stages"] == ["survivors", "filter", "packed"]
+
+
+def test_resume_with_different_input_rebuilds(spark, tmp_path):
+    """Changing --input under the same checkpoint must trigger a clean full
+    rebuild (job-level mirror of checkpointed_build's input-change
+    contract) — never serve stale survivors from the old input."""
+    out = str(tmp_path / "o")
+    ck = str(tmp_path / "c")
+    r1 = run_job(out, ck=ck, fail_after="survivors")
+    assert r1.returncode == 17
+    surv0 = read_sorted(spark, os.path.join(out, "survivors"), ["doc_id"])
+
+    # same checkpoint, different input: a full re-run, not a resume
+    env_input = "/root/testdata/sf0.001/documents.parquet"
+    other = str(tmp_path / "in2")
+    spark.read.parquet(env_input).limit(20).write.parquet(other)
+    cmd_extra = ()
+    r2 = subprocess.run(
+        [
+            sys.executable, JOB, "--input", other, "--output", out,
+            "--checkpoint", ck, "--num-shards", "2", "--seq-budget", "512",
+            *cmd_extra,
+        ],
+        env={
+            **os.environ,
+            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            "PYSPARK_SUBMIT_ARGS": (
+                "--master local[4] --conf spark.sql.shuffle.partitions=8 "
+                "--conf spark.ui.enabled=false pyspark-shell"
+            ),
+        },
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r2.returncode == 0, r2.stderr[-4000:]
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert "resumed_stages" not in m2  # nothing was resumable
+    surv2 = read_sorted(spark, os.path.join(out, "survivors"), ["doc_id"])
+    assert len(surv2) <= 20 and surv2 != surv0
