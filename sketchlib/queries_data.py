@@ -1178,30 +1178,47 @@ def sink_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sink_roundtrip_csv",
+    # value_e3_sum integerizes only values in the rollup quantization
+    # domain (finite AND |v*1000| fits a BIGINT — 1e308 is finite but its
+    # x1000 overflows: DuckDB's cast raises, Spark ANSI raises too);
+    # out-of-domain doubles are instead COUNTED, proving NaN/±Inf/1e308
+    # survive the CSV writer/reader rather than silently vanishing
     "SELECT event_type, COUNT(*) AS n, SUM(user_id) AS uid_sum, "
-    "SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS value_e3_sum "
+    "SUM(CASE WHEN isfinite(value) AND abs(value) <= 9.0e15 "
+    "    THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS value_e3_sum, "
+    "COUNT(CASE WHEN value IS NOT NULL AND NOT (isfinite(value) AND abs(value) <= 9.0e15) "
+    "      THEN 1 END) AS n_nonfinite "
     "FROM events GROUP BY event_type",
 )
 def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink → source roundtrip (header + explicit read schema): doubles
-    survive because Spark writes round-trippable shortest representations;
-    the gate compares integerized per-row values aggregated exactly, vs
-    the oracle over the original parquet."""
+    survive because Spark writes round-trippable shortest representations
+    (NaN/Infinity tokens included — counted separately, see the oracle
+    comment); the gate compares integerized per-row values aggregated
+    exactly, vs the oracle over the original parquet."""
     import os
 
     from sketchlib.queries import _events
+    from sketchlib.relops import _finite_val
 
     path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/roundtrip_csv"
+    # explicit null token + quoted empty: default CSV collapses NULL and ''
+    # into one value on read-back, silently merging their groups
+    # (fuzz-gate finding — a 7-group corpus came back as 6)
     _events(spark, sf_dir).select("event_id", "event_type", "user_id", "value").write.mode(
         "overwrite"
-    ).option("header", True).csv(path)
-    back = spark.read.option("header", True).schema(
+    ).option("header", True).option("nullValue", "\\N").option("emptyValue", '""').csv(path)
+    back = spark.read.option("header", True).option("nullValue", "\\N").option(
+        "emptyValue", ""
+    ).schema(
         "event_id bigint, event_type string, user_id bigint, value double"
     ).csv(path)
+    fin = _finite_val("value")  # the rollup quantization domain (relops)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("uid_sum"),
-        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("value_e3_sum"),
+        F.sum(F.when(fin, F.floor(F.col("value") * 1000).cast("long"))).alias("value_e3_sum"),
+        F.count(F.when(F.col("value").isNotNull() & ~fin, 1)).alias("n_nonfinite"),
     )
 
 
