@@ -37,6 +37,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 PAGES_N = int(os.environ.get("SKETCHLIB_BENCH_PAGES", "600000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: the FROZEN cross-round comparison subset (VERDICT r3 #8): exactly the
+#: 14 queries shared by the r2 and r3 benches. The headline suite keeps
+#: growing as operators land, so round-over-round deltas compare
+#: `core14_seconds`, never `value`. Do not add or remove entries.
+CORE14 = (
+    "cuckoo_build_fp16",
+    "cuckoo_build_partials_fp16",
+    "cuckoo_probe_all",
+    "cuckoo_remove_10pct",
+    "cuckoo_build_fp8",
+    "cuckoo_build_fp32",
+    "hll_distinct_users",
+    "cms_event_types",
+    "kll_value_quantiles",
+    "lineitem_pricing_summary",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "user_sessions",
+    "asof_click_attribution",
+)
 PAGES_PATH = f"/tmp/sketchlib_bench/pages_{PAGES_N}.parquet"
 HELDOUT_PATH = f"/tmp/sketchlib_bench/heldout_{PAGES_N}.parquet"
 
@@ -512,6 +533,12 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # fixed cross-round subset (VERDICT r3 #8): the suite grows as
+        # queries are added, so round-over-round comparison uses this
+        # frozen r2-era subtotal — do NOT add new queries to CORE14
+        "core14_seconds": round(
+            sum(queries[q] for q in CORE14 if q in queries), 3
+        ),
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "pages_rows": PAGES_N,
         **extra,

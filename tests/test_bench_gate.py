@@ -71,3 +71,14 @@ def test_driver_gate_order_covers_rotated_entries():
     for name in osql:
         assert osql[name] == q.REGISTRY[name][1]
         assert qs[name] is q.REGISTRY[name][0]
+
+
+def test_core14_is_the_frozen_r2_r3_shared_subset():
+    """VERDICT r3 #8: round-over-round bench comparison uses a frozen
+    subtotal; CORE14 must stay exactly the query set shared by the r2 and
+    r3 artifacts (growth lands in the headline suite, never here)."""
+    import json
+
+    r2 = json.load(open("BENCH/r2_local_sf01.json"))
+    r3 = json.load(open("BENCH/r3_local_sf01.json"))
+    assert sorted(bench.CORE14) == sorted(set(r2["queries"]) & set(r3["queries"]))
