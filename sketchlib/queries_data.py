@@ -1308,3 +1308,28 @@ def mm_resize_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = decode_meta(with_payload, keep=["doc_id", "payload"])
     out = resize_fit(meta, keep=["doc_id", "width", "height"])
     return out.select("doc_id", "width", "height", "out_w", "out_h", "resized_n_bytes")
+
+
+_PRIORITY_ORACLE = (
+    "SELECT doc_id, CAST(length(text) AS DOUBLE) / "
+    "((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 13) "
+    "AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0) AS priority "
+    "FROM documents "
+    "WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0 "
+    "ORDER BY priority DESC, CAST(doc_id AS VARCHAR) LIMIT 50"
+)
+
+
+@register("doc_priority_sample_weighted", _PRIORITY_ORACLE)
+def doc_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling (priority sampling, Duffield-Lund-Thorup
+    2007) with length(text) weights: priority = w/u over an md5-derived
+    exact dyadic uniform, top-k by priority. The ONLY inexact op is the
+    single IEEE division, so the oracle reproduces priorities BITWISE —
+    the gate hash-compares the doubles raw (no rounding needed)."""
+    from sketchlib.relops import priority_sample
+
+    docs = _docs(spark, sf_dir)
+    return priority_sample(
+        docs, "CAST(length(text) AS DOUBLE)", k=50, key_sql="CAST(doc_id AS STRING)"
+    ).select("doc_id", "priority")

@@ -406,3 +406,61 @@ def sample_by_hash(df: DataFrame, key_sql: str, threshold_hex: str) -> DataFrame
     is what a training-data pipeline needs for held-out splits. Pushed to
     the scan as a plain filter; no shuffle."""
     return df.filter(F.expr(f"md5({key_sql}) < '{threshold_hex}'"))
+
+
+#: 2^52 — denominator of the exact dyadic uniform used by priority_sample
+_U52 = 4503599627370496.0
+
+
+def priority_sample(
+    df: DataFrame, weight_sql: str, k: int, key_sql: str, seed: int = 42
+) -> DataFrame:
+    """Exact-k weighted sample via PRIORITY SAMPLING (Duffield, Lund &
+    Thorup, JACM 2007): every row gets priority ``w / u`` with ``u``
+    uniform in (0, 1], and the ``k`` highest-priority rows are the sample
+    — the scheme behind weighted training-data selection with provably
+    near-optimal subset-sum variance.
+
+    Deterministic and BIT-portable across engines (the mix_sources /
+    k-means|| discipline): ``u`` is an exact dyadic rational
+    ``(h + 1) / 2^52`` from the first 13 hex chars of ``md5(key:seed)``
+    (the +1 keeps u > 0), so the only inexact operation is the single
+    IEEE-754 division ``w / u`` — correctly rounded identically
+    everywhere, hence the DuckDB oracle reproduces priorities BITWISE and
+    the sample is stable under reruns, repartitionings, and engines.
+
+    Weight contract (finite_values philosophy): rows with NULL, NaN, ±Inf
+    or non-positive weights are excluded — weight 0 means "never sample".
+    A finite w over a tiny u may overflow to +Inf; both engines produce
+    +Inf identically and ties break on the key, so the result stays
+    deterministic. ``key_sql`` must be unique per row (it is the identity
+    AND the tiebreak).
+
+    Distributed shape: pure projection + TakeOrdered top-k (plan-asserted)
+    — no shuffle beyond the k-row reduce; at 10^12 rows this is the
+    optimal single-pass weighted sampler. Returns the sampled rows plus
+    ``priority`` (callers doing subset-sum estimation take tau = the
+    (k+1)-th priority — pass k+1 and drop the last row).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = F.expr(weight_sql).cast("double")
+    u = (
+        F.expr(f"CAST(conv(substr(md5(concat({key_sql}, ':', '{int(seed)}')), 1, 13), 16, 10) AS DOUBLE)")
+        + F.lit(1.0)
+    ) / F.lit(_U52)
+    # NULL keys are excluded like every hash-fed operator (CLAUDE.md
+    # contract) — also sidesteps the engines' differing NULL sort order
+    ok = (
+        F.expr(key_sql).isNotNull()
+        & w.isNotNull()
+        & ~F.isnan(w)
+        & (w > 0)
+        & (w <= F.lit(1.7976931348623157e308))
+    )
+    return (
+        df.filter(ok)
+        .withColumn("priority", w / u)
+        .orderBy(F.desc("priority"), F.expr(key_sql))
+        .limit(int(k))
+    )

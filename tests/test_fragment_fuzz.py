@@ -76,6 +76,7 @@ FUZZ_QUERIES = [
     "dedup_clusters_star",
     "source_counts_salted",
     "sink_roundtrip_jsonl",
+    "doc_priority_sample_weighted",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

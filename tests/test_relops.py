@@ -450,3 +450,53 @@ def test_mix_sources_differential_pure_python(spark):
             for r in mix_sources(df, targets, "CAST(doc_id AS STRING)").collect()
         }
         assert got == expected, (trial, targets)
+
+
+def test_priority_sample_deterministic_and_matches_numpy(spark):
+    """Priority sampling: (a) bit-identical under repartitioning, (b) the
+    exact top-k of the w/u priorities recomputed independently in Python
+    (same md5-derived dyadic uniform — the bit-portability contract),
+    (c) dirty weights/keys excluded per the finite_values philosophy."""
+    import hashlib
+
+    from sketchlib.relops import priority_sample
+
+    rows = [(i, float(10 + (i * 7) % 90)) for i in range(200)]
+    rows += [(900, 0.0), (901, -3.0), (902, float("nan")), (903, float("inf")),
+             (904, None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+
+    got = [
+        (r["id"], r["priority"])
+        for r in priority_sample(df, "w", 25, "CAST(id AS STRING)").collect()
+    ]
+    got_rep = [
+        (r["id"], r["priority"])
+        for r in priority_sample(df.repartition(13), "w", 25, "CAST(id AS STRING)").collect()
+    ]
+    assert got == got_rep  # bit-identical under any partitioning
+
+    def prio(i, w):
+        h = int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:13], 16)
+        return w / ((h + 1) / 4503599627370496.0)
+
+    exp = sorted(
+        ((i, prio(i, w)) for i, w in rows[:200]), key=lambda x: (-x[1], str(x[0]))
+    )[:25]
+    assert got == exp  # same bits, same order
+    ids = {i for i, _ in got}
+    assert not ids & {900, 901, 902, 903, 904, None}  # dirty rows excluded
+
+
+def test_priority_sample_weighting_is_effective(spark):
+    """A row with overwhelming weight must always be sampled, and k bounds
+    the output even when fewer valid rows exist."""
+    from sketchlib.relops import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(100)] + [(777, 1e15)], "id bigint, w double"
+    )
+    top = {r["id"] for r in priority_sample(df, "w", 10, "CAST(id AS STRING)").collect()}
+    assert 777 in top
+    tiny = spark.createDataFrame([(1, 2.0), (2, 0.0)], "id bigint, w double")
+    assert priority_sample(tiny, "w", 5, "CAST(id AS STRING)").count() == 1

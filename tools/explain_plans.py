@@ -278,6 +278,25 @@ def main():
              lambda p: "Exchange SinglePartition" not in p),
         ],
     )
+    from sketchlib.relops import priority_sample
+
+    show(
+        "priority_sample (single-pass weighted top-k, no full sort)",
+        # projected like the registry query: pruning must reach the scan
+        priority_sample(
+            docs, "CAST(length(text) AS DOUBLE)", 50, "CAST(doc_id AS STRING)"
+        ).select("doc_id", "priority"),
+        checks=[
+            # top-k must compile to TakeOrdered, never a global Sort +
+            # single-partition exchange over the corpus
+            ("top-k is TakeOrdered, not global sort",
+             lambda p: "TakeOrderedAndProject" in p),
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
     from sketchlib.relops import zorder_by
 
     show(
