@@ -639,3 +639,39 @@ def embedding_lsh_pairs(
             F.floor(F.round("cosine", 4) * 10_000).cast("long").alias("cosine_e4"),
         )
     )
+
+
+def benchmark_span_overlap(
+    docs: DataFrame, benchmark: DataFrame, n: int = 13
+) -> DataFrame:
+    """Train-test DECONTAMINATION (the GPT-3 appendix-C / Llama pipeline
+    stage): for each training document, count its DISTINCT word ``n``-gram
+    spans that occur anywhere in the ``benchmark`` set; pipeline jobs drop
+    or flag docs above a threshold before training. Default n=13 matches
+    the published decontamination span length; pass smaller n for short
+    documents.
+
+    Distributed shape (same discipline as :func:`cross_doc_span_stats`):
+    spans are short derived strings — raw text never shuffles. Each side
+    reduces to DISTINCT spans first (map-side combine), then a span-keyed
+    equi-join (un-hinted: AQE broadcasts the benchmark side when it fits,
+    which it almost always does — benchmarks are tiny next to a training
+    corpus) and a per-doc count. Docs with zero overlap are absent (inner
+    semantics); NULL doc_ids drop like every hash-fed operator.
+
+    Returns (doc_id, n_overlap_spans).
+    """
+    if n < 2:
+        raise ValueError("span length n must be >= 2")
+
+    def spans(df: DataFrame) -> DataFrame:
+        base = df.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
+        return base.selectExpr(
+            "doc_id", f"{ngram_array_expr('__a', n)} AS __s"
+        ).select("doc_id", F.explode("__s").alias("span"))
+
+    d = spans(docs.filter(F.col("doc_id").isNotNull())).distinct()
+    b = spans(benchmark).select("span").distinct()
+    return d.join(b, "span").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap_spans")
+    )

@@ -796,6 +796,7 @@ _GATE_FRONT = [
     "mm_frame_sample",
     "mm_resize_fit",
     "doc_priority_sample_weighted",  # new in r4 — first driver gating
+    "decontaminate_vs_holdout",      # new in r4 — first driver gating
 ]
 _GATE_DEFERRED = [
     "cf_membership_inserted",

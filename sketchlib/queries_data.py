@@ -1333,3 +1333,39 @@ def doc_priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(
         docs, "CAST(length(text) AS DOUBLE)", k=50, key_sql="CAST(doc_id AS STRING)"
     ).select("doc_id", "priority")
+
+
+def _decontam_oracle(n: int = 5) -> str:
+    ta = token_array_expr("duckdb")
+    unn = (
+        f"unnest(CASE WHEN len(a) < {n} THEN []::VARCHAR[] ELSE "
+        f"list_transform(range(1, len(a) - {n} + 2), "
+        f"i -> array_to_string(a[i:i+{n - 1}], ' ')) END) AS span"
+    )
+    return f"""
+WITH tr AS (SELECT doc_id, {ta} AS a FROM documents
+            WHERE doc_id IS NOT NULL AND md5(CAST(doc_id AS VARCHAR)) >= '28'),
+be AS (SELECT {ta} AS a FROM documents
+       WHERE md5(CAST(doc_id AS VARCHAR)) < '28'),
+ts AS (SELECT DISTINCT doc_id, span FROM (SELECT doc_id, {unn} FROM tr)),
+bs AS (SELECT DISTINCT span FROM (SELECT {unn} FROM be))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap_spans
+FROM ts JOIN bs USING (span) GROUP BY 1
+"""
+
+
+@register("decontaminate_vs_holdout", _decontam_oracle())
+def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test decontamination (GPT-3 appendix-C / Llama stage): count
+    each training doc's distinct 5-gram spans that appear anywhere in the
+    held-out split (the md5<'28' sample doubling as the benchmark set).
+    Spans shuffle as short derived strings; the benchmark side reduces to
+    distinct spans before the join (AQE broadcasts it when small). Oracle
+    re-derives the identical span sets and the overlap join in DuckDB."""
+    from sketchlib.dedup import benchmark_span_overlap
+    from sketchlib.relops import sample_by_hash
+
+    docs = _docs(spark, sf_dir)
+    bench = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
+    train = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
+    return benchmark_span_overlap(train, bench, n=5)

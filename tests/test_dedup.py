@@ -286,3 +286,30 @@ def test_cross_doc_span_stats_rejects_bad_n(spark, corpus):
 
     with pytest.raises(ValueError):
         cross_doc_span_stats(corpus, n=1)
+
+
+def test_benchmark_span_overlap_counts_known_contamination(spark):
+    """Decontamination: a training doc sharing a 3-gram span with a
+    benchmark doc is flagged with the exact distinct-overlap count; clean
+    docs are absent; NULL-id docs drop; repeated spans count once."""
+    from sketchlib.dedup import benchmark_span_overlap
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),          # shares 'the quick brown' + 'quick brown fox'
+            (2, "totally unrelated text here now"),     # clean
+            (3, "quick brown fox quick brown fox"),     # repeated span counts ONCE
+            (None, "the quick brown fox"),              # NULL id drops
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "see the quick brown fox run")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_overlap_spans"]
+        for r in benchmark_span_overlap(train, bench, n=3).collect()
+    }
+    # bench 3-gram spans: {see the quick, the quick brown, quick brown fox,
+    # brown fox run}; doc1 overlaps 2, doc3 overlaps 1 (distinct)
+    assert got == {1: 2, 3: 1}

@@ -77,6 +77,7 @@ FUZZ_QUERIES = [
     "source_counts_salted",
     "sink_roundtrip_jsonl",
     "doc_priority_sample_weighted",
+    "decontaminate_vs_holdout",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
