@@ -428,6 +428,24 @@ def main():
         lambda: gopher_quality_filter(docs).filter(F.col("keep")).count(),
     )
 
+    from sketchlib.dedup import benchmark_span_overlap
+    from sketchlib.relops import priority_sample, sample_by_hash
+
+    timed(
+        "priority_sample_10k",
+        lambda: priority_sample(
+            docs, "CAST(length(text) AS DOUBLE)", 10_000, "CAST(doc_id AS STRING)"
+        ).agg(F.sum("priority")).collect(),
+    )
+    timed(
+        "decontaminate_vs_holdout",
+        lambda: benchmark_span_overlap(
+            docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'")),
+            sample_by_hash(docs, "CAST(doc_id AS STRING)", "28"),
+            n=5,
+        ).agg(F.sum("n_overlap_spans")).collect(),
+    )
+
     # scaling (north_rule ≥0.8 at N→4N): the compute-dense kernel workload
     # at local[8] vs local[32], interleaved with the same-kernel mp control
     # so host CPU drift cancels; median over 4 ACCEPTED reps (scaling_rep_ok
