@@ -16,7 +16,9 @@ The north-rule execution mode::
         --gopher --pii-scrub --mix-targets src0=0.5,src1=0.3,src2=0.2
 
 Optional curation stages (off by default): ``--gopher`` adds the Gopher
-repetition quality gate after the length filter, ``--mix-targets``
+repetition quality gate after the length filter, ``--decontaminate-n N``
+drops training docs sharing any word N-gram span with the held-out split
+(benchmark decontamination, GPT-3 appendix-C style), ``--mix-targets``
 resamples survivors to target source fractions, ``--pii-scrub`` redacts
 emails/IPs/phones before packing (placeholder tokens count toward the
 budget).
@@ -85,6 +87,9 @@ def main(argv=None):
                     help="token budget per packed training sequence")
     ap.add_argument("--gopher", action="store_true",
                     help="also apply the Gopher repetition quality gate")
+    ap.add_argument("--decontaminate-n", type=int, default=0,
+                    help="drop training docs sharing any word n-gram span "
+                         "with the held-out split (0 = off)")
     ap.add_argument("--pii-scrub", action="store_true",
                     help="redact emails/IPs/phones before packing")
     ap.add_argument("--mix-targets", default=None,
@@ -124,6 +129,7 @@ def main(argv=None):
                     "input", "output", "holdout_threshold", "jaccard",
                     "min_tokens", "max_tokens", "fpsize", "num_shards",
                     "seq_budget", "gopher", "pii_scrub", "mix_targets",
+                    "decontaminate_n",
                 )
             },
             "input_fp": _input_fingerprint(docs, None),
@@ -184,6 +190,18 @@ def main(argv=None):
         ok = ok.join(gf, "doc_id", "left_semi")
     held = sample_by_hash(ok, "CAST(doc_id AS STRING)", args.holdout_threshold).select("doc_id")
     train = ok.join(held, "doc_id", "left_anti")
+    contaminated = None
+    if args.decontaminate_n:
+        # decontamination vs the held-out split (GPT-3 appendix-C stage):
+        # a training doc sharing ANY word n-gram span with evaluation data
+        # is dropped before dedup — the held docs are the benchmark set
+        from sketchlib.dedup import benchmark_span_overlap
+
+        held_docs = ok.join(held, "doc_id", "left_semi").select("doc_id", "text")
+        contaminated = benchmark_span_overlap(
+            train, held_docs, n=args.decontaminate_n
+        ).select("doc_id")
+        train = train.join(contaminated, "doc_id", "left_anti")
     exact_kept = dedup_exact(train).select(F.col("keep_doc_id").alias("doc_id"))
     kept_docs = train.join(exact_kept, "doc_id", "left_semi")
 
@@ -195,6 +213,8 @@ def main(argv=None):
         sm: dict = {"input_rows": n_in}
         if args.gopher:
             sm["gopher_kept"] = ok.count()
+        if contaminated is not None:
+            sm["decontaminated"] = contaminated.count()
         pairs = minhash_lsh_pairs(kept_docs, threshold=args.jaccard)
         clusters = near_dup_clusters(pairs)
         # survivors: cluster canonicals + docs in no near-dup pair at all.

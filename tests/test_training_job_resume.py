@@ -139,3 +139,29 @@ def test_resume_with_different_input_rebuilds(spark, tmp_path):
     assert "resumed_stages" not in m2  # nothing was resumable
     surv2 = read_sorted(spark, os.path.join(out, "survivors"), ["doc_id"])
     assert len(surv2) <= 20 and surv2 != surv0
+
+
+def test_decontaminate_stage_removes_all_holdout_overlap(spark, tmp_path):
+    """--decontaminate-n: after the run, NO surviving doc may share a word
+    n-gram span with the held-out split (the stage's whole contract),
+    and the dropped count is reported."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.dedup import benchmark_span_overlap
+    from sketchlib.relops import sample_by_hash
+
+    out = str(tmp_path / "dc")
+    r = run_job(out, extra=("--decontaminate-n", "3"))
+    assert r.returncode == 0, r.stderr[-4000:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics.get("decontaminated", 0) >= 0
+    docs = spark.read.parquet(INPUT)
+    surv = spark.read.parquet(os.path.join(out, "survivors"))
+    surv_docs = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
+    held = docs.join(
+        sample_by_hash(docs, "CAST(doc_id AS STRING)", "28").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).select("doc_id", "text")
+    leftover = benchmark_span_overlap(surv_docs, held, n=3).count()
+    assert leftover == 0
