@@ -797,6 +797,7 @@ _GATE_FRONT = [
     "mm_resize_fit",
     "doc_priority_sample_weighted",  # new in r4 — first driver gating
     "decontaminate_vs_holdout",      # new in r4 — first driver gating
+    "kmv_user_overlap",              # new in r4 — first driver gating
 ]
 _GATE_DEFERRED = [
     "cf_membership_inserted",

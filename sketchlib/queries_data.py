@@ -1369,3 +1369,46 @@ def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
     train = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
     return benchmark_span_overlap(train, bench, n=5)
+
+
+@register(
+    "kmv_user_overlap",
+    "SELECT "
+    "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS exact_a, "
+    "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_b, "
+    "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type IN ('click','purchase')) AS exact_union, "
+    "TRUE AS distinct_ok, TRUE AS union_ok, TRUE AS inter_ok",
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set algebra — the sibling-sketch capability
+    HLL lacks: union of two synopses is again a valid KMV, and |A∩B| comes
+    DIRECTLY from the Jaccard fraction inside the combined synopsis (Beyer
+    et al. 2007), not from error-amplifying inclusion-exclusion. Estimates
+    checked against exact distinct counts within 3/√(k-2) (+ slack for the
+    intersection's compounded error); below k distinct the sketch is exact,
+    so the distinct check is strict there."""
+    import numpy as np
+
+    from sketchlib.kernels.kmv import KMVSketch
+    from sketchlib.spark.agg import SketchSpec, build_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = build_sketch(ev.filter("event_type = 'click'"), SketchSpec("kv-a", "kmv", (1024,)), "user_id")
+    b = build_sketch(ev.filter("event_type = 'purchase'"), SketchSpec("kv-b", "kmv", (1024,)), "user_id")
+    row = ev.agg(
+        F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias("ea"),
+        F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id"))).alias("eb"),
+        F.countDistinct(
+            F.when(F.col("event_type").isin("click", "purchase"), F.col("user_id"))
+        ).alias("eu"),
+    ).first()
+    sigma = 3 * a.rel_error
+    d_ok = abs(a.estimate() - row["ea"]) <= sigma * row["ea"] + 1
+    u_ok = abs(a.union_estimate(b) - row["eu"]) <= sigma * row["eu"] + 1
+    exact_inter = row["ea"] + row["eb"] - row["eu"]
+    i_ok = abs(a.intersection_estimate(b) - exact_inter) <= 2 * sigma * row["eu"] + 2
+    return spark.createDataFrame(
+        [(row["ea"], row["eb"], row["eu"], bool(d_ok), bool(u_ok), bool(i_ok))],
+        "exact_a long, exact_b long, exact_union long, "
+        "distinct_ok boolean, union_ok boolean, inter_ok boolean",
+    )

@@ -27,6 +27,7 @@ from sketchlib.kernels.bloom import BloomFilter
 from sketchlib.kernels.cms import CountMinSketch
 from sketchlib.kernels.hll import HyperLogLog
 from sketchlib.kernels.kll import KLLSketch
+from sketchlib.kernels.kmv import KMVSketch
 from sketchlib.kernels.tdigest import TDigest
 from sketchlib.util import i64_to_u64, stable_seed
 
@@ -54,6 +55,7 @@ _KINDS = {
     "hll": (lambda p, s: HyperLogLog(*p), HyperLogLog.merge, "hash"),
     "cms": (lambda p, s: CountMinSketch(*p), CountMinSketch.merge, "hash"),
     "kll": (lambda p, s: KLLSketch(*p, seed=s), KLLSketch.merge, "value"),
+    "kmv": (lambda p, s: KMVSketch(*p), KMVSketch.merge, "hash"),
     "tdigest": (lambda p, s: TDigest(*p), TDigest.merge, "value"),
 }
 
@@ -63,7 +65,7 @@ class SketchSpec:
     """Declares one sketch aggregation: kind + constructor params.
 
     params: bloom=(m_bits, k) · hll=(p,) · cms=(w, d) · kll=(k,) ·
-    tdigest=(delta,)
+    tdigest=(delta,) · kmv=(k,)
     """
 
     name: str

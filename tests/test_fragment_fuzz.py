@@ -198,6 +198,7 @@ EVENT_QUERIES = [
     "builtin_sketch_crosscheck",
     "sketch_semi_join_events",
     "sink_roundtrip_csv",
+    "kmv_user_overlap",
 ]
 
 

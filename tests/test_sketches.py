@@ -244,3 +244,69 @@ def test_tdigest_merge_consistency():
     back = TDigest.from_bytes(m.to_bytes())
     assert back.quantile(0.5) == pytest.approx(m.quantile(0.5))
     assert len(m.means) <= m.delta + 2  # compressed size bound
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _kmv_hashes(xs):
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(str(x).encode(), digest_size=8).digest(), "big"
+            )
+            for x in xs
+        ],
+        dtype=np.uint64,
+    )
+
+
+def test_kmv_exact_below_k_and_bounded_above():
+    from sketchlib.kernels.kmv import KMVSketch
+
+    s = KMVSketch(128)
+    s.add_hashes(_kmv_hashes(range(100)))
+    assert s.estimate() == 100.0  # exact below k
+    big = KMVSketch(512)
+    big.add_hashes(_kmv_hashes(range(50_000)))
+    assert abs(big.estimate() - 50_000) / 50_000 <= 3 * big.rel_error
+
+
+def test_kmv_merge_byte_identical_any_split_and_duplicates():
+    """State is a set function of the distinct hash set: any partitioning,
+    order, or duplication yields the SAME serialized bytes (counts aside —
+    the count field tracks rows fed, so feed equal rows)."""
+    from sketchlib.kernels.kmv import KMVSketch
+
+    h = _kmv_hashes(range(10_000))
+    full = KMVSketch(256)
+    full.add_hashes(h)
+    parts = []
+    for lo, hi in [(7_000, 10_000), (0, 5_000), (3_000, 7_000), (5_000, 8_000)]:
+        p = KMVSketch(256)
+        p.add_hashes(h[lo:hi])
+        parts.append(p.to_bytes())
+    m = KMVSketch.merge(parts)
+    assert m.mins.tobytes() == full.mins.tobytes()
+    rt = KMVSketch.from_bytes(m.to_bytes())
+    assert rt.mins.tobytes() == m.mins.tobytes() and rt.k == m.k
+
+
+def test_kmv_set_operations_accuracy():
+    from sketchlib.kernels.kmv import KMVSketch
+
+    a, b = KMVSketch(1024), KMVSketch(1024)
+    a.add_hashes(_kmv_hashes(range(0, 30_000)))
+    b.add_hashes(_kmv_hashes(range(20_000, 50_000)))
+    tol = 3 * a.rel_error
+    assert abs(a.union_estimate(b) - 50_000) / 50_000 <= tol
+    # intersection compounds jaccard + union errors: double tolerance
+    assert abs(a.intersection_estimate(b) - 10_000) / 10_000 <= 2 * tol
+    # disjoint sets → (near-)zero intersection
+    c = KMVSketch(1024)
+    c.add_hashes(_kmv_hashes(range(1_000_000, 1_030_000)))
+    assert a.intersection_estimate(c) <= 0.02 * 30_000

@@ -31,6 +31,7 @@ def docs(spark, sf_dir):
     ("bloom", optimal_params(2000, 0.01), "user_id"),
     ("hll", (12,), "user_id"),
     ("cms", (1024, 4), "event_type"),
+    ("kmv", (256,), "user_id"),
 ])
 def test_merge_partition_invariant_bytes(spark, events, kind, params, col):
     """OR/max/add merges: byte-identical merged blob at any partitioning."""
@@ -95,3 +96,12 @@ def test_bloom_probe_distributed(spark, docs):
     held = docs.select((F.col("doc_id") + 5_000_000).cast("string").alias("key"))
     fp = bloom_probe(held, bf, "key").filter(F.col("member")).count()
     assert fp <= max(2, 0.01 * docs.count())
+
+
+def test_kmv_vs_exact_distinct(spark, events):
+    """Distributed KMV estimate within 3/√(k-2) of COUNT(DISTINCT); the
+    count field tracks total non-NULL rows fed (the hash-mode contract)."""
+    sk = build_sketch(events, SketchSpec("t-kmv", "kmv", (512,)), "user_id")
+    exact = events.filter(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    assert abs(sk.estimate() - exact) <= 3 * sk.rel_error * exact + 1
+    assert sk.count == events.filter(F.col("user_id").isNotNull()).count()
