@@ -800,6 +800,13 @@ _GATE_FRONT = [
     "kmv_user_overlap",              # new in r4 — first driver gating
 ]
 _GATE_DEFERRED = [
+    # r4: three r1-era textops entries deferred to keep the flagship
+    # composed pipeline + ANN entries inside the 50-slot window after the
+    # round's three new registrations (all three stay fuzz-covered and in
+    # the check_oracles replica, with r1-r3 driver-recorded greens)
+    "doc_token_count",
+    "doc_quality",
+    "doc_fingerprint",
     "cf_membership_inserted",
     "cf_count_add_remove",
     "cf_probe_after_remove_fp32",
