@@ -228,13 +228,13 @@ def build_sketch_grouped(
 
 
 def grouped_estimates(grouped: DataFrame, spec: SketchSpec, group_col: str) -> DataFrame:
-    """Materialize per-group estimates from grouped sketches (HLL →
+    """Materialize per-group estimates from grouped sketches (HLL/KMV →
     cardinality; CMS/bloom → count; KLL/t-digest → median)."""
     kind = spec.kind
 
     def est(key, pdf):
         m = spec.merge_blobs([bytes(b) for b in pdf["sketch"]])
-        if kind == "hll":
+        if kind in ("hll", "kmv"):
             v = m.estimate()
         elif kind in ("cms",):
             v = float(m.total)

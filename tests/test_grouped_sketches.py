@@ -64,3 +64,28 @@ def test_grouped_skewed_group(spark):
     exact = {r["grp"]: r["d"] for r in df.groupBy("grp").agg(F.countDistinct("v").alias("d")).collect()}
     for g in exact:
         assert abs(est[g] - exact[g]) / exact[g] <= 0.06, (g, est[g], exact[g])
+
+
+def test_grouped_kmv_per_type(spark, events):
+    """Grouped KMV: per-group distinct estimates within 3/sqrt(k-2) of the
+    exact per-group COUNT(DISTINCT) — the framework's sixth kind routes
+    through the cardinality branch of grouped_estimates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    spec = SketchSpec("g-kmv", "kmv", (512,))
+    grouped = build_sketch_grouped(events, "event_type", spec, "user_id")
+    est = {
+        r["event_type"]: r["estimate"]
+        for r in grouped_estimates(grouped, spec, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in events.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    tol = 3 / np.sqrt(512 - 2)
+    for t, d in exact.items():
+        assert abs(est[t] - d) <= tol * d + 1, (t, est[t], d)
