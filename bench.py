@@ -554,9 +554,9 @@ def main():
         # fixed cross-round subset (VERDICT r3 #8): the suite grows as
         # queries are added, so round-over-round comparison uses this
         # frozen r2-era subtotal — do NOT add new queries to CORE14
-        "core14_seconds": round(
-            sum(queries[q] for q in CORE14 if q in queries), 3
-        ),
+        # strict indexing: a renamed or skipped core query must KeyError
+        # here, never silently shrink the frozen subtotal
+        "core14_seconds": round(sum(queries[q] for q in CORE14), 3),
         "sf": os.path.basename(SF_DIR.rstrip("/")),
         "pages_rows": PAGES_N,
         **extra,

@@ -37,10 +37,11 @@ direct-vs-partials-vs-resumed builds byte-identical — the CLAUDE.md
 invariant). ``DIR/pipeline_meta.json`` pins the args + input fingerprint;
 any mismatch wipes the stage state and rebuilds cleanly instead of
 resuming against the wrong input (same contract as checkpointed_build).
-The cheap narrow prefix (length/gopher/holdout/exact-dedup) is
-re-derived on resume for the packing stage rather than checkpointed —
-only results of the expensive wide stages (LSH + clustering, filter
-build) are persisted.
+Only the row-level length gate is re-derived on resume (one
+pushed-down filter); every id-level removal (gopher, holdout,
+decontamination, exact dedup, clustering) is pinned by the survivors
+parquet, so resumed filter/packed stages re-execute none of the wide
+work.
 
 ``SKETCHLIB_PIPELINE_FAIL_AFTER=<stage>`` hard-exits (os._exit) right
 after the named stage commits — deterministic crash injection for the
@@ -178,32 +179,15 @@ def main(argv=None):
             os._exit(17)
 
     # ------------------------------------------- shared narrow prefix
-    # cheap, deterministic, re-derived on every (re-)run: length gate,
-    # optional gopher gate, held-out split, exact dedup
+    # ONLY the row-level length gate stays outside the stages (re-derived
+    # on every run — one pushed-down filter): every other removal (gopher,
+    # holdout, decontamination, dedup, clustering) is id-level and pinned
+    # by the survivors parquet, so a resumed run re-executes none of it
+    # (review finding r4: kept_docs' lineage used to drag gopher + the
+    # span-overlap join into the packed stage)
     ok = docs.selectExpr("*", f"{token_count_sql('spark')} AS __tc").filter(
         f"__tc BETWEEN {args.min_tokens} AND {args.max_tokens}"
     ).drop("__tc")
-    if args.gopher:
-        from sketchlib.textops import gopher_quality_filter
-
-        gf = gopher_quality_filter(ok).filter("keep").select("doc_id")
-        ok = ok.join(gf, "doc_id", "left_semi")
-    held = sample_by_hash(ok, "CAST(doc_id AS STRING)", args.holdout_threshold).select("doc_id")
-    train = ok.join(held, "doc_id", "left_anti")
-    contaminated = None
-    if args.decontaminate_n:
-        # decontamination vs the held-out split (GPT-3 appendix-C stage):
-        # a training doc sharing ANY word n-gram span with evaluation data
-        # is dropped before dedup — the held docs are the benchmark set
-        from sketchlib.dedup import benchmark_span_overlap
-
-        held_docs = ok.join(held, "doc_id", "left_semi").select("doc_id", "text")
-        contaminated = benchmark_span_overlap(
-            train, held_docs, n=args.decontaminate_n
-        ).select("doc_id")
-        train = train.join(contaminated, "doc_id", "left_anti")
-    exact_kept = dedup_exact(train).select(F.col("keep_doc_id").alias("doc_id"))
-    kept_docs = train.join(exact_kept, "doc_id", "left_semi")
 
     # ------------------------------------------------ stage: survivors
     if stage_done("survivors", surv_path):
@@ -211,10 +195,34 @@ def main(argv=None):
     else:
         n_in = docs.count()
         sm: dict = {"input_rows": n_in}
+        work = ok
         if args.gopher:
-            sm["gopher_kept"] = ok.count()
-        if contaminated is not None:
+            from sketchlib.textops import gopher_quality_filter
+
+            gf = gopher_quality_filter(work).filter("keep").select("doc_id")
+            work = work.join(gf, "doc_id", "left_semi")
+            sm["gopher_kept"] = work.count()
+        held = sample_by_hash(
+            work, "CAST(doc_id AS STRING)", args.holdout_threshold
+        ).select("doc_id")
+        train = work.join(held, "doc_id", "left_anti")
+        if args.decontaminate_n:
+            # decontamination vs the held-out split (GPT-3 appendix-C
+            # stage): a training doc sharing ANY word n-gram span with
+            # evaluation data is dropped before dedup. localCheckpoint the
+            # (small) contaminated-id set so the expensive span-overlap
+            # join executes ONCE — the metric count and the anti-join
+            # below both read the checkpoint (review finding r4)
+            from sketchlib.dedup import benchmark_span_overlap
+
+            held_docs = work.join(held, "doc_id", "left_semi").select("doc_id", "text")
+            contaminated = benchmark_span_overlap(
+                train, held_docs, n=args.decontaminate_n
+            ).select("doc_id").localCheckpoint(eager=True)
             sm["decontaminated"] = contaminated.count()
+            train = train.join(contaminated, "doc_id", "left_anti")
+        exact_kept = dedup_exact(train).select(F.col("keep_doc_id").alias("doc_id"))
+        kept_docs = train.join(exact_kept, "doc_id", "left_semi")
         pairs = minhash_lsh_pairs(kept_docs, threshold=args.jaccard)
         clusters = near_dup_clusters(pairs)
         # survivors: cluster canonicals + docs in no near-dup pair at all.
@@ -278,9 +286,11 @@ def main(argv=None):
     else:
         sm = {}
         # optional curation stages between survivor selection and packing.
-        # survivors is re-read from the parquet just written so the metric
-        # actions below don't re-execute the LSH/clustering lineage
-        train_set = kept_docs.join(spark.read.parquet(surv_path), "doc_id", "left_semi")
+        # the training set is the length-gated rows of the SURVIVOR ids —
+        # every other removal was id-level, so the semi-join against the
+        # survivors parquet reproduces it exactly without re-executing
+        # gopher / decontamination / LSH lineage (review finding r4)
+        train_set = ok.join(spark.read.parquet(surv_path), "doc_id", "left_semi")
         if args.mix_targets:
             from sketchlib.relops import mix_sources
 

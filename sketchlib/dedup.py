@@ -63,7 +63,9 @@ def cross_doc_span_stats(docs: DataFrame, n: int = 5, materialize: bool = True) 
     (memory-and-disk) before the fan-out: both consumers read the cached
     partitions (BlockManager serializes concurrent first computes per
     block), so the corpus text is scanned once. Like semi_join_via_filter's
-    keys.cache(), the cache lives until the session drops it.
+    keys.cache(), the cache lives until the session drops it — and each
+    CALL registers its own entry, so loops issuing many span-dedup jobs in
+    one session should pass materialize=False or clearCache() between.
 
     Measured trade (interleaved same-session A/B, sf0.1, CLAUDE.md
     policy): warm-plan, the persist costs ~0.3-0.5 s more than the double

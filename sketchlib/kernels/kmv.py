@@ -70,6 +70,8 @@ class KMVSketch:
     # ------------------------------------------------- set operations
 
     def union_estimate(self, other: "KMVSketch") -> float:
+        if self.k != other.k:
+            raise ValueError("union requires equal k")
         u = KMVSketch(self.k)
         u.mins = np.union1d(self.mins, other.mins)[: self.k]
         return u.estimate()

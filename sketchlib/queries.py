@@ -769,11 +769,12 @@ def sketch_semi_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Driver-gate rotation (VERDICT r3 #1). The driver checks at most the
-#: FIRST 50 entries of queries() against their oracles; the registry holds
-#: 68. _GATE_FRONT pulls the 18 entries that fell past the r1-r3 cutoff
-#: (10 of which had never been driver-gated) to the head so CORRECTNESS_r4
-#: records a hard green row for each; _GATE_DEFERRED pushes 18 long-stable
-#: cuckoo/sketch entries past the cutoff — they remain fully covered by
+#: FIRST 50 entries of queries() against their oracles; the registry is
+#: larger (len(REGISTRY) — do the math from the live count, not this
+#: comment). _GATE_FRONT pulls the entries that fell past the r1-r3
+#: cutoff (plus each round's new registrations) to the head so
+#: CORRECTNESS_r{N} records a hard green row for each; _GATE_DEFERRED
+#: pushes long-stable cuckoo/sketch/textops entries past the cutoff — they remain fully covered by
 #: tools/check_oracles.py (which runs ALL entries) and pytest, and
 #: cf_membership_inserted additionally stays smoke-checked via entry().
 _GATE_FRONT = [

@@ -310,3 +310,16 @@ def test_kmv_set_operations_accuracy():
     c = KMVSketch(1024)
     c.add_hashes(_kmv_hashes(range(1_000_000, 1_030_000)))
     assert a.intersection_estimate(c) <= 0.02 * 30_000
+
+
+def test_kmv_mismatched_k_raises_everywhere():
+    """All cross-sketch ops require equal k — a mismatched union would
+    silently bias toward the larger sketch (review finding r4)."""
+    import pytest
+
+    from sketchlib.kernels.kmv import KMVSketch
+
+    a, b = KMVSketch(64), KMVSketch(128)
+    for op in (a.merge_with, a.union_estimate, a.intersection_estimate):
+        with pytest.raises(ValueError):
+            op(b)

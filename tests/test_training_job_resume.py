@@ -155,11 +155,20 @@ def test_decontaminate_stage_removes_all_holdout_overlap(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-4000:]
     metrics = json.loads(r.stdout.strip().splitlines()[-1])
     assert metrics.get("decontaminated", 0) >= 0
+    from sketchlib.textops import token_count_sql
+
     docs = spark.read.parquet(INPUT)
+    # the job samples the held-out split from the LENGTH-GATED population
+    # (job defaults 10..100000 tokens) — derive it identically here, or a
+    # corpus with out-of-band docs would make this assertion check spans
+    # the job never decontaminated against (review finding r4)
+    ok = docs.selectExpr("*", f"{token_count_sql('spark')} AS __tc").filter(
+        "__tc BETWEEN 10 AND 100000"
+    ).drop("__tc")
     surv = spark.read.parquet(os.path.join(out, "survivors"))
-    surv_docs = docs.join(surv.select("doc_id"), "doc_id", "left_semi")
-    held = docs.join(
-        sample_by_hash(docs, "CAST(doc_id AS STRING)", "28").select("doc_id"),
+    surv_docs = ok.join(surv.select("doc_id"), "doc_id", "left_semi")
+    held = ok.join(
+        sample_by_hash(ok, "CAST(doc_id AS STRING)", "28").select("doc_id"),
         "doc_id",
         "left_semi",
     ).select("doc_id", "text")

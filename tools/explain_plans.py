@@ -345,7 +345,10 @@ def main():
     )
     show(
         "cross-doc span dedup (span-keyed equi-joins, corpus text never shuffles)",
-        cross_doc_span_stats(docs, n=5),
+        # materialize=False: this session only inspects plans — the default
+        # persist would register a never-executed cache entry; the
+        # materialized path's behavior is covered by the bench + A/B
+        cross_doc_span_stats(docs, n=5, materialize=False),
         checks=[
             ("map-side partial counts", lambda p: "partial_count" in p),
             ("no count-distinct Expand", lambda p: "Expand" not in p),
