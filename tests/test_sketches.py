@@ -323,3 +323,44 @@ def test_kmv_mismatched_k_raises_everywhere():
     for op in (a.merge_with, a.union_estimate, a.intersection_estimate):
         with pytest.raises(ValueError):
             op(b)
+
+
+def test_kmv_properties_hypothesis():
+    """Property-based (the repo's lockstep strategy, applied to KMV): for
+    arbitrary hash multisets and arbitrary partitionings, (a) the merged
+    mins equal the bulk build's mins BYTE-for-byte (associativity +
+    idempotence under overlap), (b) the estimate is exact below k, (c)
+    serialization round-trips."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from sketchlib.kernels.kmv import KMVSketch
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        hashes=st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300),
+        cuts=st.lists(st.integers(min_value=0, max_value=300), max_size=4),
+        k=st.sampled_from([8, 16, 64]),
+    )
+    def prop(hashes, cuts, k):
+        h = np.array(hashes, dtype=np.uint64)
+        bulk = KMVSketch(k)
+        bulk.add_hashes(h)
+        bounds = sorted({0, len(h), *[min(c, len(h)) for c in cuts]})
+        parts = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            p = KMVSketch(k)
+            p.add_hashes(h[lo:hi])
+            parts.append(p.to_bytes())
+        if parts:
+            merged = KMVSketch.merge(parts)
+            assert merged.mins.tobytes() == bulk.mins.tobytes()
+        n_distinct = len(np.unique(h))
+        if n_distinct < k:
+            assert bulk.estimate() == float(n_distinct)
+        rt = KMVSketch.from_bytes(bulk.to_bytes())
+        assert rt.mins.tobytes() == bulk.mins.tobytes() and rt.count == bulk.count
+
+    prop()
