@@ -644,7 +644,7 @@ def embedding_lsh_pairs(
 
 
 def benchmark_span_overlap(
-    docs: DataFrame, benchmark: DataFrame, n: int = 13
+    docs: DataFrame, benchmark: DataFrame, n: int = 13, via_filter: bool = False
 ) -> DataFrame:
     """Train-test DECONTAMINATION (the GPT-3 appendix-C / Llama pipeline
     stage): for each training document, count its DISTINCT word ``n``-gram
@@ -661,6 +661,16 @@ def benchmark_span_overlap(
     corpus) and a per-doc count. Docs with zero overlap are absent (inner
     semantics); NULL doc_ids drop like every hash-fed operator.
 
+    ``via_filter=True`` routes the overlap through the cuckoo runtime
+    filter (:func:`sketchlib.spark.cuckoo.semi_join_via_filter`) — the
+    engine-integration path for when even the benchmark's distinct-span
+    relation is too large to broadcast-join comfortably: the benchmark
+    spans become a ~2 B/span FP16 filter probed MAP-SIDE over the corpus
+    spans, so only matching-or-false-positive (doc, span) pairs ever
+    reach a shuffle; the exact semi join inside then removes the ≤0.012%
+    false positives. EXACT either way (no false negatives ⇒ no missed
+    contamination), verified equal in tests.
+
     Returns (doc_id, n_overlap_spans).
     """
     if n < 2:
@@ -674,6 +684,10 @@ def benchmark_span_overlap(
 
     d = spans(docs.filter(F.col("doc_id").isNotNull())).distinct()
     b = spans(benchmark).select("span").distinct()
-    return d.join(b, "span").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_overlap_spans")
-    )
+    if via_filter:
+        from sketchlib.spark.cuckoo import semi_join_via_filter
+
+        hits = semi_join_via_filter(d, b, "span", "span", name="decontam-spans")
+    else:
+        hits = d.join(b, "span")
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap_spans"))

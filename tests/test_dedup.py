@@ -313,3 +313,25 @@ def test_benchmark_span_overlap_counts_known_contamination(spark):
     # bench 3-gram spans: {see the quick, the quick brown, quick brown fox,
     # brown fox run}; doc1 overlaps 2, doc3 overlaps 1 (distinct)
     assert got == {1: 2, 3: 1}
+
+
+def test_benchmark_span_overlap_via_filter_equals_exact(spark, sf_dir):
+    """The cuckoo-runtime-filter decontamination path must return EXACTLY
+    the equi-join path's result (no false negatives from the filter; false
+    positives removed by the exact semi join inside)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.dedup import benchmark_span_overlap
+    from sketchlib.relops import sample_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
+    train = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
+    exact = sorted(
+        tuple(r) for r in benchmark_span_overlap(train, bench, n=5).collect()
+    )
+    sketched = sorted(
+        tuple(r)
+        for r in benchmark_span_overlap(train, bench, n=5, via_filter=True).collect()
+    )
+    assert sketched == exact and len(exact) > 0
