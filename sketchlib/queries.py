@@ -799,6 +799,7 @@ _GATE_FRONT = [
     "doc_priority_sample_weighted",  # new in r4 — first driver gating
     "decontaminate_vs_holdout",      # new in r4 — first driver gating
     "kmv_user_overlap",              # new in r4 — first driver gating
+    "decontaminate_sketched",        # new in r4 — first driver gating
 ]
 _GATE_DEFERRED = [
     # r4: three r1-era textops entries deferred to keep the flagship
@@ -808,6 +809,7 @@ _GATE_DEFERRED = [
     "doc_token_count",
     "doc_quality",
     "doc_fingerprint",
+    "doc_token_count_bpe",
     "cf_membership_inserted",
     "cf_count_add_remove",
     "cf_probe_after_remove_fp32",

@@ -1412,3 +1412,19 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_a long, exact_b long, exact_union long, "
         "distinct_ok boolean, union_ok boolean, inter_ok boolean",
     )
+
+
+@register("decontaminate_sketched", _decontam_oracle())
+def decontaminate_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME decontamination semantics routed through the cuckoo
+    runtime filter (benchmark spans → FP16 filter probed map-side over
+    corpus spans; exact semi join removes the bounded false positives).
+    Shares decontaminate_vs_holdout's oracle VERBATIM — the gate proves
+    the sketch-accelerated path is exact, not approximately right."""
+    from sketchlib.dedup import benchmark_span_overlap
+    from sketchlib.relops import sample_by_hash
+
+    docs = _docs(spark, sf_dir)
+    bench = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
+    train = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
+    return benchmark_span_overlap(train, bench, n=5, via_filter=True)

@@ -78,6 +78,7 @@ FUZZ_QUERIES = [
     "sink_roundtrip_jsonl",
     "doc_priority_sample_weighted",
     "decontaminate_vs_holdout",
+    "decontaminate_sketched",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
