@@ -335,3 +335,26 @@ def test_benchmark_span_overlap_via_filter_equals_exact(spark, sf_dir):
         for r in benchmark_span_overlap(train, bench, n=5, via_filter=True).collect()
     )
     assert sketched == exact and len(exact) > 0
+
+
+def test_benchmark_span_overlap_hot_span_skew(spark):
+    """Skew edge: EVERY doc shares one boilerplate span with the benchmark
+    (the hot-key worst case for the span join). Counts must stay exact —
+    each doc overlaps on exactly the boilerplate span (distinct
+    semantics), on both the equi-join and the runtime-filter paths."""
+    from sketchlib.dedup import benchmark_span_overlap
+
+    boiler = "all rights reserved copyright"
+    train = spark.createDataFrame(
+        [(i, f"doc body {i} unique words here {boiler}") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(900, f"footer {boiler} footer end")], "doc_id bigint, text string"
+    )
+    for via in (False, True):
+        got = {
+            r["doc_id"]: r["n_overlap_spans"]
+            for r in benchmark_span_overlap(train, bench, n=4, via_filter=via).collect()
+        }
+        assert got == {i: 1 for i in range(200)}, (via, len(got))
