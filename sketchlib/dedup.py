@@ -682,12 +682,19 @@ def benchmark_span_overlap(
             "doc_id", f"{ngram_array_expr('__a', n)} AS __s"
         ).select("doc_id", F.explode("__s").alias("span"))
 
-    d = spans(docs.filter(F.col("doc_id").isNotNull())).distinct()
+    d_raw = spans(docs.filter(F.col("doc_id").isNotNull()))
     b = spans(benchmark).select("span").distinct()
     if via_filter:
         from sketchlib.spark.cuckoo import semi_join_via_filter
 
-        hits = semi_join_via_filter(d, b, "span", "span", name="decontam-spans")
+        # probe the RAW exploded spans — before the distinct's shuffle —
+        # so the filter really does run map-side over the scan and only
+        # surviving pairs reach any exchange (the distinct then dedups
+        # survivors only; distinct commutes with a row-wise filter, so
+        # the result is identical — plan-asserted in explain_plans)
+        hits = semi_join_via_filter(
+            d_raw, b, "span", "span", name="decontam-spans"
+        ).distinct()
     else:
-        hits = d.join(b, "span")
+        hits = d_raw.distinct().join(b, "span")
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap_spans"))

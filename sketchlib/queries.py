@@ -802,10 +802,11 @@ _GATE_FRONT = [
     "decontaminate_sketched",        # new in r4 — first driver gating
 ]
 _GATE_DEFERRED = [
-    # r4: three r1-era textops entries deferred to keep the flagship
-    # composed pipeline + ANN entries inside the 50-slot window after the
-    # round's three new registrations (all three stay fuzz-covered and in
-    # the check_oracles replica, with r1-r3 driver-recorded greens)
+    # r4: r1-era textops entries deferred to keep the flagship composed
+    # pipeline + ANN entries inside the 50-slot window after the round's
+    # new registrations (count from the live lists, not this comment;
+    # deferred entries stay fuzz-covered and in the check_oracles replica,
+    # with r1-r3 driver-recorded greens)
     "doc_token_count",
     "doc_quality",
     "doc_fingerprint",

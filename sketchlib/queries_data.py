@@ -1354,6 +1354,18 @@ FROM ts JOIN bs USING (span) GROUP BY 1
 """
 
 
+def _decontam_inputs(spark: SparkSession, sf_dir: str):
+    """The (train, benchmark) split shared by BOTH decontamination gate
+    entries and mirrored in _decontam_oracle — one definition, so a
+    threshold/key-cast edit cannot diverge the three copies silently."""
+    from sketchlib.relops import sample_by_hash
+
+    docs = _docs(spark, sf_dir)
+    bench = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
+    train = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
+    return train, bench
+
+
 @register("decontaminate_vs_holdout", _decontam_oracle())
 def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-test decontamination (GPT-3 appendix-C / Llama stage): count
@@ -1363,11 +1375,8 @@ def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct spans before the join (AQE broadcasts it when small). Oracle
     re-derives the identical span sets and the overlap join in DuckDB."""
     from sketchlib.dedup import benchmark_span_overlap
-    from sketchlib.relops import sample_by_hash
 
-    docs = _docs(spark, sf_dir)
-    bench = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
-    train = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
+    train, bench = _decontam_inputs(spark, sf_dir)
     return benchmark_span_overlap(train, bench, n=5)
 
 
@@ -1422,9 +1431,6 @@ def decontaminate_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shares decontaminate_vs_holdout's oracle VERBATIM — the gate proves
     the sketch-accelerated path is exact, not approximately right."""
     from sketchlib.dedup import benchmark_span_overlap
-    from sketchlib.relops import sample_by_hash
 
-    docs = _docs(spark, sf_dir)
-    bench = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
-    train = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
+    train, bench = _decontam_inputs(spark, sf_dir)
     return benchmark_span_overlap(train, bench, n=5, via_filter=True)

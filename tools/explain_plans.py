@@ -297,6 +297,29 @@ def main():
              lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
         ],
     )
+    from sketchlib.dedup import benchmark_span_overlap
+    from sketchlib.relops import sample_by_hash
+
+    bench_docs = sample_by_hash(docs, "CAST(doc_id AS STRING)", "28")
+    train_docs = docs.filter(F.expr("md5(CAST(doc_id AS STRING)) >= '28'"))
+    show(
+        "decontamination via cuckoo runtime filter (probe BELOW the shuffle)",
+        benchmark_span_overlap(train_docs, bench_docs, n=5, via_filter=True),
+        checks=[
+            # the map-side probe must be a CHILD of the survivors' distinct
+            # exchange — parents print first, so the (doc_id, span)
+            # exchange must appear BEFORE the probe MapInPandas in the
+            # plan string (review finding r4: it used to probe after the
+            # distinct, shuffling the full span set)
+            ("probe runs before any (doc_id, span) shuffle",
+             lambda p: (lambda m, i: m is not None and i != -1 and m.start() < i)(
+                 re.search(r"Exchange hashpartitioning\(doc_id#\d+L, span#\d+", p),
+                 p.find("MapInPandas run"),
+             )),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ],
+    )
     from sketchlib.relops import zorder_by
 
     show(
