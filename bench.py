@@ -354,6 +354,7 @@ def main():
     timed("hll_distinct_users", lambda: build_sketch(ev, SketchSpec("b-hll", "hll", (14,)), "user_id").estimate())
     timed("cms_event_types", lambda: build_sketch(ev, SketchSpec("b-cms", "cms", (2048, 5)), "event_type").total)
     timed("kll_value_quantiles", lambda: build_sketch(ev, SketchSpec("b-kll", "kll", (256,)), "value").quantile(0.5))
+    timed("kmv_distinct_users", lambda: build_sketch(ev, SketchSpec("b-kmv", "kmv", (1024,)), "user_id").estimate())
 
     import sketchlib.queries as q
 

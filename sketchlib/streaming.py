@@ -131,32 +131,45 @@ def read_state(spark, state_dir: str) -> DataFrame:
 
 
 def streaming_distinct_per_key(
-    stream: DataFrame, key_col: str, count_col: str, p: int = 12
+    stream: DataFrame, key_col: str, count_col: str, p: int = 12, kind: str = "hll"
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
-    a running HLL per key, updated each micro-batch, emitting the current
-    distinct-count estimate. The sketch blob IS the state — mergeable
-    aggregators make exactly-once streaming state one binary column."""
+    a running cardinality sketch per key, updated each micro-batch,
+    emitting the current distinct-count estimate. The sketch blob IS the
+    state — mergeable aggregators make exactly-once streaming state one
+    binary column. ``kind``: "hll" (param p, default) or "kmv" (param p
+    reinterpreted as k; exact below k distinct — handy for long-tail keys
+    where most groups stay small)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from sketchlib.kernels.hll import HyperLogLog
+    from sketchlib.kernels.kmv import KMVSketch
     from sketchlib.util import i64_to_u64
 
-    hashed = stream.withColumn("__h", F.xxhash64(count_col))
+    if kind not in ("hll", "kmv"):
+        raise ValueError("kind must be 'hll' or 'kmv'")
+    cls = HyperLogLog if kind == "hll" else KMVSketch
+    # NULL counted-values are ignored, matching COUNT(DISTINCT) and the
+    # batch aggregator's hash-mode contract — xxhash64(NULL) evaluates to
+    # the seed, which would otherwise count as one phantom distinct per
+    # key (the agg.py trap, previously unguarded on the streaming path)
+    hashed = stream.where(F.col(count_col).isNotNull()).withColumn(
+        "__h", F.xxhash64(count_col)
+    )
 
     def update(key, pdfs, state):
         if state.exists:
             (blob,) = state.get
-            hll = HyperLogLog.from_bytes(bytes(blob))
+            sk = cls.from_bytes(bytes(blob))
         else:
-            hll = HyperLogLog(p)
+            sk = cls(p)
         for pdf in pdfs:
             if len(pdf):
-                hll.add_hashes(i64_to_u64(pdf["__h"].to_numpy()))
-        state.update((hll.to_bytes(),))
+                sk.add_hashes(i64_to_u64(pdf["__h"].to_numpy()))
+        state.update((sk.to_bytes(),))
         yield pd.DataFrame(
-            {key_col: [key[0]], "distinct_estimate": [float(hll.estimate())]}
+            {key_col: [key[0]], "distinct_estimate": [float(sk.estimate())]}
         )
 
     return hashed.groupBy(key_col).applyInPandasWithState(

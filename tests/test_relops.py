@@ -500,3 +500,19 @@ def test_priority_sample_weighting_is_effective(spark):
     assert 777 in top
     tiny = spark.createDataFrame([(1, 2.0), (2, 0.0)], "id bigint, w double")
     assert priority_sample(tiny, "w", 5, "CAST(id AS STRING)").count() == 1
+
+
+def test_priority_sample_string_ids(spark):
+    """String id columns work end-to-end (the key is identity + tiebreak;
+    no numeric coercion anywhere — mirrors the kmeans id fix)."""
+    from sketchlib.relops import priority_sample
+
+    df = spark.createDataFrame(
+        [(f"url-{i}", float(1 + i % 7)) for i in range(50)], "url string, w double"
+    )
+    got = priority_sample(df, "w", 10, "url").collect()
+    assert len(got) == 10 and all(r["url"].startswith("url-") for r in got)
+    rep = priority_sample(df.repartition(7), "w", 10, "url").collect()
+    assert [(r["url"], r["priority"]) for r in got] == [
+        (r["url"], r["priority"]) for r in rep
+    ]

@@ -298,3 +298,77 @@ def test_sink_retains_previous_epoch_for_lazy_readers(spark, sf_dir):
         assert ShardedCuckoo.from_df(read_state(spark, state_dir), spec).count() == docs.count()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_distinct_per_key_kmv_exact_below_k(spark, sf_dir):
+    """The KMV kind of the stateful streaming distinct: with k larger than
+    any group's true distinct count, the running estimate is EXACT per key
+    after all micro-batches (KMV below-k exactness carried through the
+    binary streaming state)."""
+    from sketchlib.streaming import streaming_distinct_per_key
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="sketchlib-state-kmv-")
+    try:
+        events.withColumn("g", F.pmod("event_id", F.lit(3))).write.partitionBy("g").parquet(
+            os.path.join(work, "src")
+        )
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "src") + "/g=*")
+        )
+        out = streaming_distinct_per_key(stream, "event_type", "user_id", p=100_000, kind="kmv")
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("state_out_kmv")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.sql("SELECT * FROM state_out_kmv").toPandas()
+        final = emitted.groupby("event_type").last()["distinct_estimate"].to_dict()
+        exact = {
+            r["event_type"]: r["d"]
+            for r in events.filter(F.col("user_id").isNotNull())
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .collect()
+        }
+        for t, d in exact.items():
+            assert final[t] == float(d), (t, final[t], d)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_distinct_ignores_null_values(spark, tmp_path):
+    """NULL counted-values must not register as a phantom distinct
+    (xxhash64(NULL) evaluates to the seed — the batch aggregator's
+    hash-mode trap, now guarded on the streaming path too)."""
+    from sketchlib.streaming import streaming_distinct_per_key
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None), ("b", None)],
+        "k string, v bigint",
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_distinct_per_key(stream, "k", "v", p=64, kind="kmv")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("null_guard_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: r["distinct_estimate"]
+        for r in spark.sql("SELECT * FROM null_guard_out").collect()
+    }
+    assert got.get("a") == 2.0          # NULL row ignored
+    assert "b" not in got               # all-NULL key never emits
