@@ -40,6 +40,28 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def _span_hash_table(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, span_h, c): per-document occurrence counts of word
+    ``n``-gram spans, keyed by ``xxhash64(span)`` — the 8-byte key is
+    derived in the projection RIGHT AFTER the explode, so the span
+    STRING never reaches any exchange (a 13-word span is ~80-150 B; the
+    hash shuffle carries ~12× fewer bytes — the r3 minhash discipline,
+    VERDICT r4 #3). Factored out of :func:`cross_doc_span_stats` so plan
+    checks can assert the pre-checkpoint shuffle shape (the
+    textops._pack_layout precedent)."""
+    base = docs.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
+    spans = (
+        base.selectExpr("doc_id", f"{ngram_array_expr('__a', n)} AS __s")
+        # hash in the projection right over the Generate output (a
+        # generator can't nest inside xxhash64 directly); the explode
+        # attribute is a plain column reference, so CollapseProject can't
+        # re-evaluate anything expensive (the r3 transform(sequence) trap)
+        .select("doc_id", F.explode("__s").alias("__span"))
+        .select("doc_id", F.xxhash64("__span").alias("span_h"))
+    )
+    return spans.groupBy("doc_id", "span_h").agg(F.count(F.lit(1)).alias("c"))
+
+
 def cross_doc_span_stats(docs: DataFrame, n: int = 5, materialize: bool = True) -> DataFrame:
     """Cross-document span duplication (C4-style span dedup / train-test
     contamination detection): for every document, the fraction of its word
@@ -49,48 +71,45 @@ def cross_doc_span_stats(docs: DataFrame, n: int = 5, materialize: bool = True) 
     contaminated pages; the per-span doc counts double as the span-level
     blocklist C4 removes verbatim.
 
-    Distributed shape: spans are short derived strings — the corpus text
-    never shuffles. groupBy(doc_id, span) (map-side combine) → per-span
-    doc-frequency as count(*) over that already-distinct table (never a
-    count_distinct in a wide agg) → span-keyed equi-join back (AQE
-    skew-split applies to hot boilerplate spans; no per-doc broadcast) →
-    per-doc rollup. Docs shorter than ``n`` tokens are recovered from the
-    doc spine with 0 spans. The (doc_id, span, c) table feeds both the
-    doc-frequency aggregate and the join; exchange reuse does not fire
-    across the agg boundary, so without materialization the whole
-    regex-normalize + explode subtree executes TWICE (VERDICT r3 #2).
-    With ``materialize=True`` (the at-scale default) it is persisted
-    (memory-and-disk) before the fan-out: both consumers read the cached
-    partitions (BlockManager serializes concurrent first computes per
-    block), so the corpus text is scanned once. Like semi_join_via_filter's
-    keys.cache(), the cache lives until the session drops it — and each
-    CALL registers its own entry, so loops issuing many span-dedup jobs in
-    one session should pass materialize=False or clearCache() between.
+    Distributed shape: every exchange is keyed on ``xxhash64(span)`` —
+    neither the corpus text NOR the span strings ever shuffle
+    (:func:`_span_hash_table`; VERDICT r4 #3). groupBy(doc_id, span_h)
+    (map-side combine) → per-span doc-frequency as count(*) over that
+    already-distinct table (never a count_distinct in a wide agg) →
+    hash-keyed equi-join back (AQE skew-split applies to hot boilerplate
+    spans; no per-doc broadcast) → per-doc rollup. Docs shorter than
+    ``n`` tokens are recovered from the doc spine with 0 spans.
 
-    Measured trade (interleaved same-session A/B, sf0.1, CLAUDE.md
-    policy): warm-plan, the persist costs ~0.3-0.5 s more than the double
-    execution (min 2.27 s → 2.72 s — materializing the span table exceeds
-    re-running the cheap 5k-doc text subtree); COLD-plan the persist wins
-    2.6× (7.77 s → 3.00 s), and at 100-TB scale the regex+explode subtree
-    dominates the span-table bytes, so one scan is strictly right. Pass
-    ``materialize=False`` only for repeated small-corpus interactive runs.
+    Exactness note (same trade the minhash rework documents, SURVEY §10
+    item 5): two DISTINCT spans colliding on xxhash64 (≈2^-64 per pair)
+    would merge their counts; the driver-gated oracle stays STRING-exact
+    and passes at all SFs, bounding the realized risk at the tested
+    scales.
+
+    The (doc_id, span_h, c) table feeds both the doc-frequency aggregate
+    and the join; exchange reuse does not fire across the agg boundary,
+    so without materialization the whole regex-normalize + explode
+    subtree executes TWICE (VERDICT r3 #2). With ``materialize=True``
+    (the at-scale default) it is eagerly localCheckpointed before the
+    fan-out: both consumers read the materialized partitions, the corpus
+    text is scanned once, and — unlike the r4 persist() — the blocks are
+    released by the ContextCleaner when the result plan is
+    garbage-collected instead of accumulating session-lifetime
+    CacheManager entries per call (VERDICT r4 #6; pinned by
+    test_dedup.test_span_stats_leaves_no_cache_entries). Cold-plan the
+    one-scan shape wins 2.6× (r4 A/B); pass ``materialize=False`` only
+    for repeated small-corpus interactive runs or plan inspection.
 
     Returns (doc_id, n_spans, dup_spans, dup_span_frac).
     """
-    from pyspark import StorageLevel
-
     if n < 2:
         raise ValueError("span length n must be >= 2 (use token stats for n=1)")
-    base = docs.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
-    spans = base.selectExpr(
-        "doc_id", f"{ngram_array_expr('__a', n)} AS __s"
-    ).select("doc_id", F.explode("__s").alias("span"))
-    per_doc = spans.groupBy("doc_id", "span").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = _span_hash_table(docs, n)
     if materialize:
-        per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
-    span_df = per_doc.groupBy("span").agg(F.count(F.lit(1)).alias("n_docs"))
+        per_doc = per_doc.localCheckpoint(eager=True)
+    span_df = per_doc.groupBy("span_h").agg(F.count(F.lit(1)).alias("n_docs"))
     stats = (
-        per_doc.join(span_df, "span")
+        per_doc.join(span_df, "span_h")
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_spans"),
@@ -654,12 +673,17 @@ def benchmark_span_overlap(
     documents.
 
     Distributed shape (same discipline as :func:`cross_doc_span_stats`):
-    spans are short derived strings — raw text never shuffles. Each side
-    reduces to DISTINCT spans first (map-side combine), then a span-keyed
-    equi-join (un-hinted: AQE broadcasts the benchmark side when it fits,
-    which it almost always does — benchmarks are tiny next to a training
-    corpus) and a per-doc count. Docs with zero overlap are absent (inner
-    semantics); NULL doc_ids drop like every hash-fed operator.
+    every exchange is keyed on ``xxhash64(span)`` derived right after the
+    explode — neither raw text nor span strings ever shuffle (VERDICT r4
+    #3; ~12× fewer exchange bytes than the string key at n=13). Each side
+    reduces to DISTINCT span hashes first (map-side combine), then a
+    hash-keyed equi-join (un-hinted: AQE broadcasts the benchmark side
+    when it fits, which it almost always does — benchmarks are tiny next
+    to a training corpus) and a per-doc count. Docs with zero overlap are
+    absent (inner semantics); NULL doc_ids drop like every hash-fed
+    operator. Exactness: an xxhash64 collision between two distinct spans
+    (≈2^-64/pair) could count a phantom overlap; the driver-gated oracle
+    stays string-exact (the minhash-rework trade, SURVEY §10 item 5).
 
     ``via_filter=True`` routes the overlap through the cuckoo runtime
     filter (:func:`sketchlib.spark.cuckoo.semi_join_via_filter`) — the
@@ -677,24 +701,29 @@ def benchmark_span_overlap(
         raise ValueError("span length n must be >= 2")
 
     def spans(df: DataFrame) -> DataFrame:
+        # 8-byte hash key derived IN the explode projection — the span
+        # string exists only inside this map-side stage
         base = df.selectExpr("doc_id", f"{token_array_expr('spark')} AS __a")
-        return base.selectExpr(
-            "doc_id", f"{ngram_array_expr('__a', n)} AS __s"
-        ).select("doc_id", F.explode("__s").alias("span"))
+        return (
+            base.selectExpr("doc_id", f"{ngram_array_expr('__a', n)} AS __s")
+            .select("doc_id", F.explode("__s").alias("__span"))
+            .select("doc_id", F.xxhash64("__span").alias("span_h"))
+        )
 
     d_raw = spans(docs.filter(F.col("doc_id").isNotNull()))
-    b = spans(benchmark).select("span").distinct()
+    b = spans(benchmark).select("span_h").distinct()
     if via_filter:
         from sketchlib.spark.cuckoo import semi_join_via_filter
 
-        # probe the RAW exploded spans — before the distinct's shuffle —
-        # so the filter really does run map-side over the scan and only
-        # surviving pairs reach any exchange (the distinct then dedups
-        # survivors only; distinct commutes with a row-wise filter, so
-        # the result is identical — plan-asserted in explain_plans)
+        # probe the RAW exploded span hashes — before the distinct's
+        # shuffle — so the filter really does run map-side over the scan
+        # and only surviving pairs reach any exchange (the distinct then
+        # dedups survivors only; distinct commutes with a row-wise
+        # filter, so the result is identical — plan-asserted in
+        # explain_plans)
         hits = semi_join_via_filter(
-            d_raw, b, "span", "span", name="decontam-spans"
+            d_raw, b, "span_h", "span_h", name="decontam-spans"
         ).distinct()
     else:
-        hits = d_raw.distinct().join(b, "span")
+        hits = d_raw.distinct().join(b, "span_h")
     return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap_spans"))

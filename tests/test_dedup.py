@@ -288,6 +288,28 @@ def test_cross_doc_span_stats_rejects_bad_n(spark, corpus):
         cross_doc_span_stats(corpus, n=1)
 
 
+def test_span_stats_leaves_no_cache_entries(spark, corpus):
+    """VERDICT r4 #6: the materialized span table must not accumulate
+    session-lifetime CacheManager entries per call — the eager
+    localCheckpoint materializes without registering a persist, and its
+    blocks are ContextCleaner-released when the plan is GC'd. Two
+    sequential materialized calls leave the cache manager unchanged."""
+    from sketchlib.dedup import cross_doc_span_stats
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    def n_cached() -> int:
+        try:
+            return cm.cachedData().size()
+        except Exception:
+            return 0 if cm.isEmpty() else 1
+
+    before = n_cached()
+    for _ in range(2):
+        cross_doc_span_stats(corpus, n=3, materialize=True).collect()
+    assert n_cached() == before
+
+
 def test_benchmark_span_overlap_counts_known_contamination(spark):
     """Decontamination: a training doc sharing a 3-gram span with a
     benchmark doc is flagged with the exact distinct-overlap count; clean

@@ -307,15 +307,20 @@ def main():
         benchmark_span_overlap(train_docs, bench_docs, n=5, via_filter=True),
         checks=[
             # the map-side probe must be a CHILD of the survivors' distinct
-            # exchange — parents print first, so the (doc_id, span)
+            # exchange — parents print first, so the (doc_id, span_h)
             # exchange must appear BEFORE the probe MapInPandas in the
             # plan string (review finding r4: it used to probe after the
             # distinct, shuffling the full span set)
-            ("probe runs before any (doc_id, span) shuffle",
+            ("probe runs before any (doc_id, span_h) shuffle",
              lambda p: (lambda m, i: m is not None and i != -1 and m.start() < i)(
-                 re.search(r"Exchange hashpartitioning\(doc_id#\d+L, span#\d+", p),
+                 re.search(r"Exchange hashpartitioning\(doc_id#\d+L, span_h#\d+", p),
                  p.find("MapInPandas run"),
              )),
+            # VERDICT r4 #3: span STRINGS must never shuffle — every
+            # exchange is keyed on the 8-byte xxhash64 (span_h), and no
+            # raw span column may appear in any partitioning expression
+            ("no string span column below any Exchange",
+             lambda p: not re.search(r"hashpartitioning\([^)\n]*\bspan#", p)),
             ("no cartesian/nested loop",
              lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
@@ -376,6 +381,11 @@ def main():
             ("map-side partial counts", lambda p: "partial_count" in p),
             ("no count-distinct Expand", lambda p: "Expand" not in p),
             ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
+            # VERDICT r4 #3: exchanges carry the 8-byte span_h key, never
+            # the raw span string
+            ("exchanges keyed on span_h, never the span string",
+             lambda p: re.search(r"hashpartitioning\([^)\n]*span_h#", p) is not None
+             and not re.search(r"hashpartitioning\([^)\n]*\bspan#", p)),
             ("no cartesian/nested loop",
              lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
