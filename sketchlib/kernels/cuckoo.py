@@ -535,14 +535,24 @@ class CuckooFilter:
 
     # ------------------------------------------------------------- serialize
 
-    def to_bytes(self) -> bytes:
+    def to_bytes(self, version: int = 1) -> bytes:
         """Little-endian header (magic, version, widths, flags, PRNG state,
         homeless, fpcount) + raw bucket bytes — format inspired by the RDB
-        layout at t_cuckoofilter.zig:115-129."""
+        layout at t_cuckoofilter.zig:115-129.
+
+        ``version=1`` (default) is the canonical format every
+        byte-identity contract in the repo pins. ``version=2`` appends a
+        sha256 of header+body — an integrity-checked envelope for
+        long-lived checkpoint blobs (corruption at load time raises
+        instead of resurrecting a silently-wrong filter). from_bytes
+        loads BOTH; unknown versions are rejected like the reference
+        rejects a wrong encver (t_cuckoofilter.zig:71-75)."""
+        if version not in (1, 2):
+            raise ValueError(f"unknown encoding version {version}")
         flags = 1 if self.broken else 0
         header = _HEADER.pack(
             _MAGIC,
-            _VERSION,
+            version,
             self.fpsize,
             self.bucksize,
             flags,
@@ -554,15 +564,33 @@ class CuckooFilter:
             self.fpcount,
             self.nbytes,
         )
-        return header + self.buckets.tobytes()
+        blob = header + self.buckets.tobytes()
+        if version == 2:
+            import hashlib
+
+            blob += hashlib.sha256(blob).digest()
+        return blob
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> CuckooFilter:
         (magic, version, fpsize, bucksize, flags, _pad, s0, s1, hfp, hidx, fpcount, nbytes) = (
             _HEADER.unpack_from(blob, 0)
         )
-        if magic != _MAGIC or version != _VERSION:
-            raise BadLengthError("bad magic/version")
+        if magic != _MAGIC:
+            raise BadLengthError("bad magic")
+        if version not in (1, 2):
+            # mirror the reference's wrong-encver rejection
+            # (t_cuckoofilter.zig:71-75): fail loud, never misparse
+            raise BadLengthError(f"unsupported encoding version {version}")
+        if version == 2:
+            import hashlib
+
+            body_end = len(blob) - 32
+            if body_end <= _HEADER.size or hashlib.sha256(
+                blob[:body_end]
+            ).digest() != blob[body_end:]:
+                raise BadLengthError("v2 checksum mismatch — corrupt blob")
+            blob = blob[:body_end]
         if fpsize not in BUCK_SIZE or bucksize != BUCK_SIZE[fpsize]:
             raise BadLengthError("bad widths")
         body = blob[_HEADER.size :]

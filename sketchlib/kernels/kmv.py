@@ -95,8 +95,11 @@ class KMVSketch:
     # ------------------------------------------------- serialization
 
     def to_bytes(self) -> bytes:
+        # '<u8' pins the mins little-endian like the '<'-packed header —
+        # native-endian tobytes() would silently break the byte-identical
+        # blob contract on a big-endian host (ADVICE r4)
         return _HEADER.pack(_MAGIC, 1, 0, self.k, self.count) + np.ascontiguousarray(
-            self.mins
+            self.mins.astype("<u8", copy=False)
         ).tobytes()
 
     @classmethod
@@ -105,7 +108,9 @@ class KMVSketch:
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad magic/version")
         out = cls(k)
-        out.mins = np.frombuffer(blob[_HEADER.size:], dtype=np.uint64).copy()
+        out.mins = (
+            np.frombuffer(blob[_HEADER.size:], dtype="<u8").astype(np.uint64, copy=True)
+        )
         out.count = count
         return out
 

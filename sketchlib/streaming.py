@@ -131,15 +131,24 @@ def read_state(spark, state_dir: str) -> DataFrame:
 
 
 def streaming_distinct_per_key(
-    stream: DataFrame, key_col: str, count_col: str, p: int = 12, kind: str = "hll"
+    stream: DataFrame,
+    key_col: str,
+    count_col: str,
+    p: int = 12,
+    kind: str = "hll",
+    k: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     a running cardinality sketch per key, updated each micro-batch,
     emitting the current distinct-count estimate. The sketch blob IS the
     state — mergeable aggregators make exactly-once streaming state one
-    binary column. ``kind``: "hll" (param p, default) or "kmv" (param p
-    reinterpreted as k; exact below k distinct — handy for long-tail keys
-    where most groups stay small)."""
+    binary column. ``kind``: "hll" (precision ``p``, default) or "kmv"
+    (size ``k``, default 256 — exact below k distinct, ~1/sqrt(k-2)
+    relative error above; handy for long-tail keys where most groups stay
+    small). ``k`` is a separate kwarg so HLL's precision is never
+    silently reused as a tiny KMV size (ADVICE r4: p=12 as k meant ~32%
+    error); both params are validated HERE on the driver — an executor-
+    time failure inside the stateful update is far harder to read."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -149,7 +158,15 @@ def streaming_distinct_per_key(
 
     if kind not in ("hll", "kmv"):
         raise ValueError("kind must be 'hll' or 'kmv'")
+    if kind == "hll":
+        if not 4 <= p <= 18:
+            raise ValueError(f"hll precision p must be in [4, 18], got {p}")
+    else:
+        k = 256 if k is None else k
+        if k < 8:
+            raise ValueError(f"kmv size k must be >= 8, got {k} (rel-err ~1/sqrt(k-2))")
     cls = HyperLogLog if kind == "hll" else KMVSketch
+    param = p if kind == "hll" else k
     # NULL counted-values are ignored, matching COUNT(DISTINCT) and the
     # batch aggregator's hash-mode contract — xxhash64(NULL) evaluates to
     # the seed, which would otherwise count as one phantom distinct per
@@ -163,7 +180,7 @@ def streaming_distinct_per_key(
             (blob,) = state.get
             sk = cls.from_bytes(bytes(blob))
         else:
-            sk = cls(p)
+            sk = cls(param)
         for pdf in pdfs:
             if len(pdf):
                 sk.add_hashes(i64_to_u64(pdf["__h"].to_numpy()))

@@ -421,3 +421,45 @@ def test_merge_propagates_broken():
         b.remove_one(1, 1)
     m = CuckooFilter.merge([a, b])
     assert m.is_broken()
+
+
+def test_encoding_version_evolution_v1_v2():
+    """Encoding-version migration (VERDICT r4 #7, reference encver
+    rejection t_cuckoofilter.zig:71-75): v1 blobs still load under the
+    v2-capable reader, v2 round-trips with its integrity checksum, a
+    corrupted v2 blob and an unknown version both fail loud, and the
+    default stays byte-identical v1 (the merge byte-identity contract)."""
+    import hashlib
+
+    import pytest
+
+    from sketchlib.kernels.cuckoo import BadLengthError, CuckooFilter, size_for
+
+    cf = CuckooFilter.create(size_for(500, 2), 2)
+    ih = np.arange(1, 400, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ifp = (ih >> np.uint64(7)) & np.uint64(0xFF)
+    cf.add_batch(ih, ifp)
+
+    v1 = cf.to_bytes()
+    assert v1 == cf.to_bytes(version=1)  # default IS v1 — bytes pinned
+    old_style = CuckooFilter.from_bytes(v1)  # a pre-evolution blob loads
+    assert old_style.to_bytes() == v1
+
+    v2 = cf.to_bytes(version=2)
+    assert len(v2) == len(v1) + 32
+    assert v2[-32:] == hashlib.sha256(v2[:-32]).digest()
+    back = CuckooFilter.from_bytes(v2)
+    assert back.to_bytes() == v1  # semantic state identical across versions
+    assert back.contains_batch(ih, ifp).all()
+
+    corrupt = bytearray(v2)
+    corrupt[len(corrupt) // 2] ^= 0xFF
+    with pytest.raises(BadLengthError, match="checksum"):
+        CuckooFilter.from_bytes(bytes(corrupt))
+
+    v3 = bytearray(v1)
+    v3[4] = 3  # bump the little-endian version field
+    with pytest.raises(BadLengthError, match="unsupported encoding version"):
+        CuckooFilter.from_bytes(bytes(v3))
+    with pytest.raises(ValueError, match="unknown encoding version"):
+        cf.to_bytes(version=3)

@@ -318,7 +318,7 @@ def test_streaming_distinct_per_key_kmv_exact_below_k(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(os.path.join(work, "src") + "/g=*")
         )
-        out = streaming_distinct_per_key(stream, "event_type", "user_id", p=100_000, kind="kmv")
+        out = streaming_distinct_per_key(stream, "event_type", "user_id", kind="kmv", k=100_000)
         q = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -356,7 +356,7 @@ def test_streaming_distinct_ignores_null_values(spark, tmp_path):
     )
     df.write.parquet(src)
     stream = spark.readStream.schema(df.schema).parquet(src)
-    out = streaming_distinct_per_key(stream, "k", "v", p=64, kind="kmv")
+    out = streaming_distinct_per_key(stream, "k", "v", kind="kmv", k=64)
     q = (
         out.writeStream.outputMode("update")
         .format("memory")
@@ -372,3 +372,21 @@ def test_streaming_distinct_ignores_null_values(spark, tmp_path):
     }
     assert got.get("a") == 2.0          # NULL row ignored
     assert "b" not in got               # all-NULL key never emits
+
+
+def test_streaming_distinct_validates_params_on_driver(spark, sf_dir):
+    """ADVICE r4: a too-small KMV size (or an out-of-range HLL precision)
+    must fail at CALL time on the driver, not later inside the stateful
+    executor update where the error surfaces as an opaque task failure."""
+    import pytest
+
+    from sketchlib.streaming import streaming_distinct_per_key
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(events.schema).parquet(f"{sf_dir}/")
+    with pytest.raises(ValueError, match="kmv size k"):
+        streaming_distinct_per_key(stream, "event_type", "user_id", kind="kmv", k=4)
+    with pytest.raises(ValueError, match="hll precision"):
+        streaming_distinct_per_key(stream, "event_type", "user_id", p=25)
+    with pytest.raises(ValueError, match="hll precision"):
+        streaming_distinct_per_key(stream, "event_type", "user_id", p=2)
