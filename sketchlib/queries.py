@@ -778,35 +778,9 @@ def sketch_semi_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/check_oracles.py (which runs ALL entries) and pytest, and
 #: cf_membership_inserted additionally stays smoke-checked via entry().
 _GATE_FRONT = [
-    "ann_lsh_topk_batch",
-    "stratified_sample_per_lang",
-    "source_mixing_sample",
-    "curation_pipeline_e2e",
-    "asof_click_attribution",
-    "hourly_continuous_aggregate",
-    "range_join_promo_windows",
-    "dedup_clusters_star",
-    "user_sessions",
-    "doc_sample_deterministic",
-    "vocab_top100",
-    "ann_ivf_topk",
-    "pack_sequences_2048",
-    "sink_roundtrip_jsonl",
-    "sink_roundtrip_csv",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_resize_fit",
-    "doc_priority_sample_weighted",  # new in r4 — first driver gating
-    "decontaminate_vs_holdout",      # new in r4 — first driver gating
-    "kmv_user_overlap",              # new in r4 — first driver gating
-    "decontaminate_sketched",        # new in r4 — first driver gating
-]
-_GATE_DEFERRED = [
-    # r4: r1-era textops entries deferred to keep the flagship composed
-    # pipeline + ANN entries inside the 50-slot window after the round's
-    # new registrations (count from the live lists, not this comment;
-    # deferred entries stay fuzz-covered and in the check_oracles replica,
-    # with r1-r3 driver-recorded greens)
+    # r5 rotation (VERDICT r4 #5): the 22 entries with NO r4 driver row —
+    # their last driver greens are r1-r3, so they re-enter the window to
+    # get a current-generation green
     "doc_token_count",
     "doc_quality",
     "doc_fingerprint",
@@ -829,6 +803,40 @@ _GATE_DEFERRED = [
     "source_counts_salted",
     "hll_distinct_docs_per_lang",
     "tdigest_median_per_type",
+    # entries whose CODE changed in r5 (hermetic caches / strict oracles /
+    # hash-keyed spans / kmv endianness) — re-gate on current code
+    "hourly_continuous_aggregate",   # r4 RED → fixed (oracle cast + hermetic cache)
+    "sink_roundtrip_csv",            # r4 RED → fixed (oracle cast + run-scoped sink)
+    "sink_roundtrip_jsonl",          # run-scoped sink path
+    "ann_lsh_topk",                  # content-addressed signature cache
+    "ann_ivf_topk",                  # content-addressed index cache
+    "cross_doc_span_dedup",          # hash-keyed span shuffles
+    "decontaminate_vs_holdout",      # hash-keyed span shuffles
+    "decontaminate_sketched",        # hash-keyed span shuffles
+    "kmv_user_overlap",              # endianness-pinned KMV blobs
+    # new in r5 — first driver gating
+    "ann_ivf_topk_clustered",
+    "decontaminate_n13",
+]
+_GATE_DEFERRED = [
+    # r4-front entries with FRESH r4 driver greens and unchanged code —
+    # safest to push past the 50-slot cutoff this round; they stay fully
+    # covered by tools/check_oracles.py (runs ALL entries) and pytest
+    "ann_lsh_topk_batch",
+    "stratified_sample_per_lang",
+    "source_mixing_sample",
+    "curation_pipeline_e2e",
+    "asof_click_attribution",
+    "range_join_promo_windows",
+    "dedup_clusters_star",
+    "user_sessions",
+    "doc_sample_deterministic",
+    "vocab_top100",
+    "pack_sequences_2048",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_resize_fit",
+    "doc_priority_sample_weighted",
 ]
 
 

@@ -79,6 +79,7 @@ FUZZ_QUERIES = [
     "doc_priority_sample_weighted",
     "decontaminate_vs_holdout",
     "decontaminate_sketched",
+    "decontaminate_n13",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
@@ -291,6 +292,7 @@ EMB_QUERIES = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "ann_ivf_topk_clustered",
 ]
 
 

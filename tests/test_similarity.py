@@ -261,3 +261,43 @@ def test_batch_topk_bucket_cap_engages(spark, emb):
     full = lsh_cosine_topk_batch(qs, emb, k=5).count()
     capped = lsh_cosine_topk_batch(qs, emb, k=5, max_bucket_size=2).count()
     assert capped <= full
+
+
+def test_ivf_clustered_fixture_recall_floor(spark, emb, tmp_path):
+    """VERDICT r4 #4: on a corpus WITH cluster structure the IVF index
+    must behave like an index — recall >= 0.9 while scanning <= 26% of
+    the corpus (nprobe=2 of 16 lists; the raw hash-scattered fixture
+    needed ~75% scanned for the same recall, which is a linear scan with
+    extra steps). The clustered fixture is the deterministic 16-cluster
+    mixture the ann_ivf_topk_clustered registry entry gates."""
+    from sketchlib.similarity import clustered_embeddings, ivf_topk, write_ivf_index
+
+    emb2 = clustered_embeddings(emb, n_clusters=16).cache()
+    rows = emb2.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    total = len(ids)
+    idx = str(tmp_path / "ivf_clustered")
+    write_ivf_index(emb2, idx, k=16, lloyd_iters=2)
+    list_sizes = {
+        r["centroid"]: r["n"]
+        for r in spark.read.parquet(idx).groupBy("centroid").agg(F.count("*").alias("n")).collect()
+    }
+    recalls, scan_fracs = [], []
+    for qi in (0, 3, 11, 42, 101, 257):
+        q = mat[list(ids).index(qi)].tolist()
+        exact = _exact_topk(ids, mat, q, 10)
+        got_df = ivf_topk(spark, idx, q, k=10, nprobe=2)
+        got = {r["vec_id"] for r in got_df.collect()}
+        recalls.append(len(got & exact) / 10)
+        # actual probed rows: re-derive the 2 probed lists the way the
+        # probe ranks them (top-2 centroid dot products)
+        cents = spark.read.parquet(idx + "_centroids").collect()
+        ranked = sorted(
+            (-(sum(a * b for a, b in zip(q, r["cvn"]))), r["cid"]) for r in cents
+        )
+        probed = [cid for _, cid in ranked[:2]]
+        scan_fracs.append(sum(list_sizes.get(c, 0) for c in probed) / total)
+    assert np.mean(recalls) >= 0.9, recalls
+    assert max(scan_fracs) <= 0.26, scan_fracs
+    emb2.unpersist()
