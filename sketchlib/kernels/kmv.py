@@ -92,6 +92,23 @@ class KMVSketch:
         jaccard = len(both) / len(u.mins)
         return jaccard * u.estimate()
 
+    def difference_estimate(self, other: "KMVSketch") -> float:
+        """|A \\ B| via the combined synopsis (Beyer et al. 2007 §4, same
+        construction as the intersection): over the k smallest of the
+        union, the fraction of hashes present in A but NOT in B estimates
+        |A∖B| / |A∪B|; scaled by the union estimate. Direct — no
+        error-amplifying |A| − |A∩B| subtraction of two estimates.
+        Exact when the union stays below k (both synopses complete)."""
+        if self.k != other.k:
+            raise ValueError("difference requires equal k")
+        u = KMVSketch(self.k)
+        u.mins = np.union1d(self.mins, other.mins)[: self.k]
+        if len(u.mins) == 0:
+            return 0.0
+        in_a = np.intersect1d(u.mins, self.mins, assume_unique=True)
+        only_a = np.setdiff1d(in_a, other.mins, assume_unique=True)
+        return len(only_a) / len(u.mins) * u.estimate()
+
     # ------------------------------------------------- serialization
 
     def to_bytes(self) -> bytes:

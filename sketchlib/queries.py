@@ -817,6 +817,7 @@ _GATE_FRONT = [
     # new in r5 — first driver gating
     "ann_ivf_topk_clustered",
     "decontaminate_n13",
+    "priority_sample_per_lang",
 ]
 _GATE_DEFERRED = [
     # r4-front entries with FRESH r4 driver greens and unchanged code —

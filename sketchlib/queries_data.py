@@ -1478,7 +1478,7 @@ def decontaminate_vs_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'click') AS exact_a, "
     "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS exact_b, "
     "(SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type IN ('click','purchase')) AS exact_union, "
-    "TRUE AS distinct_ok, TRUE AS union_ok, TRUE AS inter_ok",
+    "TRUE AS distinct_ok, TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok",
 )
 def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) set algebra — the sibling-sketch capability
@@ -1508,11 +1508,45 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_ok = abs(a.union_estimate(b) - row["eu"]) <= sigma * row["eu"] + 1
     exact_inter = row["ea"] + row["eb"] - row["eu"]
     i_ok = abs(a.intersection_estimate(b) - exact_inter) <= 2 * sigma * row["eu"] + 2
+    exact_diff = row["eu"] - row["eb"]  # |A \ B| = |A∪B| - |B|
+    df_ok = abs(a.difference_estimate(b) - exact_diff) <= 2 * sigma * row["eu"] + 2
     return spark.createDataFrame(
-        [(row["ea"], row["eb"], row["eu"], bool(d_ok), bool(u_ok), bool(i_ok))],
+        [(row["ea"], row["eb"], row["eu"], bool(d_ok), bool(u_ok), bool(i_ok), bool(df_ok))],
         "exact_a long, exact_b long, exact_union long, "
-        "distinct_ok boolean, union_ok boolean, inter_ok boolean",
+        "distinct_ok boolean, union_ok boolean, inter_ok boolean, diff_ok boolean",
     )
+
+
+_PRIORITY_STRAT_ORACLE = (
+    "WITH p AS (SELECT doc_id, lang, CAST(length(text) AS DOUBLE) / "
+    "((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || '42'), 1, 13) "
+    "AS BIGINT) AS DOUBLE) + 1.0) / 4503599627370496.0) AS priority "
+    "FROM documents "
+    "WHERE doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0) "
+    "SELECT doc_id, lang, priority FROM ("
+    "  SELECT doc_id, lang, priority, ROW_NUMBER() OVER ("
+    "    PARTITION BY lang ORDER BY priority DESC, CAST(doc_id AS VARCHAR)) AS rn"
+    "  FROM p) WHERE rn <= 10"
+)
+
+
+@register("priority_sample_per_lang", _PRIORITY_STRAT_ORACLE)
+def priority_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum exact-k weighted sampling (the per-language /
+    per-domain quota stage of data selection): priority sampling with the
+    top 10 taken independently per lang — NULL lang is its own stratum.
+    Scale shape: Arrow-batched local top-k per partition reduces the
+    corpus BEFORE the one stratum-keyed exchange (see
+    relops.priority_sample_stratified); the oracle reproduces the
+    BITWISE-identical priorities and the per-lang ROW_NUMBER cut."""
+    from sketchlib.relops import priority_sample_stratified
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    out = priority_sample_stratified(
+        docs, "CAST(length(text) AS DOUBLE)", k=10,
+        key_sql="CAST(doc_id AS STRING)", stratum_col="lang",
+    )
+    return out.select("doc_id", "lang", "priority")
 
 
 def _decontam13_oracle(n: int = 13, prefix: int = 20, every: int = 7) -> str:

@@ -464,3 +464,78 @@ def priority_sample(
         .orderBy(F.desc("priority"), F.expr(key_sql))
         .limit(int(k))
     )
+
+
+def priority_sample_stratified(
+    df: DataFrame,
+    weight_sql: str,
+    k: int,
+    key_sql: str,
+    stratum_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-k-PER-STRATUM weighted sampling (the per-domain / per-language
+    quota stage of a data-selection pipeline): priority sampling
+    (:func:`priority_sample` — same bit-portable ``w / u`` priorities)
+    with the top ``k`` taken independently inside every ``stratum_col``
+    group. NULL strata form their own group (both engines partition NULLs
+    together); NULL/invalid keys and weights are excluded exactly as in
+    the global sampler.
+
+    Distributed shape: a naive per-group window would shuffle the ENTIRE
+    corpus on the stratum key (and hot strata skew it). Instead phase 1
+    reduces each scan partition to its local top-k per stratum inside
+    ``mapInPandas`` (Arrow-batched, vectorized sort+groupby-head, bounded
+    buffer of ~strata*k + one batch, NO shuffle), so only
+    ``partitions * strata * k`` survivor rows reach the one stratum-keyed
+    exchange where a window row_number takes the global per-stratum top-k.
+    Local-then-global top-k is exact (any global top-k row is a local
+    top-k row of its partition). At 10^12 rows the exchange carries the
+    survivors, never the corpus.
+
+    Returns the sampled rows (all input columns) plus ``priority``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    import pandas as pd
+    from pyspark.sql import Window
+
+    w = F.expr(weight_sql).cast("double")
+    u = (
+        F.expr(f"CAST(conv(substr(md5(concat({key_sql}, ':', '{int(seed)}')), 1, 13), 16, 10) AS DOUBLE)")
+        + F.lit(1.0)
+    ) / F.lit(_U52)
+    ok = (
+        F.expr(key_sql).isNotNull()
+        & w.isNotNull()
+        & ~F.isnan(w)
+        & (w > 0)
+        & (w <= F.lit(1.7976931348623157e308))
+    )
+    scored = (
+        df.filter(ok)
+        .withColumn("priority", w / u)
+        .withColumn("__k", F.expr(key_sql).cast("string"))
+    )
+    schema = scored.schema
+
+    def local_topk(batches):
+        buf = None
+        for pdf in batches:
+            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            # vectorized reduction: sort once, keep k rows per stratum
+            # (dropna=False: a NULL stratum is a real group)
+            buf = (
+                buf.sort_values(["priority", "__k"], ascending=[False, True])
+                .groupby(stratum_col, dropna=False, sort=False)
+                .head(k)
+                .reset_index(drop=True)
+            )
+        if buf is not None and len(buf):
+            yield buf
+
+    survivors = scored.mapInPandas(local_topk, schema=schema)
+    rn = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(F.desc("priority"), F.col("__k"))
+    )
+    return survivors.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn", "__k")

@@ -77,6 +77,7 @@ FUZZ_QUERIES = [
     "source_counts_salted",
     "sink_roundtrip_jsonl",
     "doc_priority_sample_weighted",
+    "priority_sample_per_lang",
     "decontaminate_vs_holdout",
     "decontaminate_sketched",
     "decontaminate_n13",

@@ -516,3 +516,36 @@ def test_priority_sample_string_ids(spark):
     assert [(r["url"], r["priority"]) for r in got] == [
         (r["url"], r["priority"]) for r in rep
     ]
+
+
+def test_priority_sample_stratified_exact_per_group(spark):
+    """The two-phase (local Arrow top-k → one stratum shuffle) sampler
+    must equal the straightforward per-group top-k, including across a
+    pathological partitioning and with a NULL stratum group."""
+    import pandas as pd
+
+    from sketchlib.relops import priority_sample_stratified
+
+    rows = [(i, ["a", "b", None][i % 3], float(1 + (i * 7919) % 100)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double").repartition(13)
+    out = priority_sample_stratified(
+        df, "w", k=5, key_sql="CAST(id AS STRING)", stratum_col="grp"
+    ).toPandas()
+    # reference: compute all priorities in one partition, cut per group
+    ref = priority_sample_stratified(
+        df.coalesce(1), "w", k=5, key_sql="CAST(id AS STRING)", stratum_col="grp"
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id", "grp", "priority"]].fillna("∅").values.tolist()))
+    assert key(out) == key(ref)
+    counts = out.groupby("grp", dropna=False).size()
+    assert set(counts) == {5} and len(counts) == 3  # a, b, NULL strata
+
+
+def test_priority_sample_stratified_rejects_bad_k(spark):
+    import pytest
+
+    from sketchlib.relops import priority_sample_stratified
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, grp string, w double")
+    with pytest.raises(ValueError):
+        priority_sample_stratified(df, "w", 0, "CAST(id AS STRING)", "grp")

@@ -306,10 +306,21 @@ def test_kmv_set_operations_accuracy():
     assert abs(a.union_estimate(b) - 50_000) / 50_000 <= tol
     # intersection compounds jaccard + union errors: double tolerance
     assert abs(a.intersection_estimate(b) - 10_000) / 10_000 <= 2 * tol
-    # disjoint sets → (near-)zero intersection
+    # difference is DIRECT (fraction of the combined synopsis in A only),
+    # not the error-amplifying |A| - |A∩B| of two estimates
+    # A = [0, 30k), B = [20k, 50k): |A∖B| = |B∖A| = 20 000
+    assert abs(a.difference_estimate(b) - 20_000) / 20_000 <= 2 * tol
+    assert abs(b.difference_estimate(a) - 20_000) / 20_000 <= 2 * tol
+    # disjoint sets → (near-)zero intersection, difference ≈ |A|
     c = KMVSketch(1024)
     c.add_hashes(_kmv_hashes(range(1_000_000, 1_030_000)))
     assert a.intersection_estimate(c) <= 0.02 * 30_000
+    assert abs(a.difference_estimate(c) - 30_000) / 30_000 <= tol + 0.02
+    # exact below k: small disjoint synopses → exact difference
+    s1, s2 = KMVSketch(1024), KMVSketch(1024)
+    s1.add_hashes(_kmv_hashes(range(0, 300)))
+    s2.add_hashes(_kmv_hashes(range(200, 500)))
+    assert s1.difference_estimate(s2) == 200.0
 
 
 def test_kmv_mismatched_k_raises_everywhere():
@@ -320,7 +331,7 @@ def test_kmv_mismatched_k_raises_everywhere():
     from sketchlib.kernels.kmv import KMVSketch
 
     a, b = KMVSketch(64), KMVSketch(128)
-    for op in (a.merge_with, a.union_estimate, a.intersection_estimate):
+    for op in (a.merge_with, a.union_estimate, a.intersection_estimate, a.difference_estimate):
         with pytest.raises(ValueError):
             op(b)
 

@@ -325,6 +325,27 @@ def main():
              lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
     )
+    from sketchlib.relops import priority_sample_stratified
+
+    show(
+        "priority_sample_stratified (local Arrow top-k, ONE stratum shuffle)",
+        priority_sample_stratified(
+            docs.select("doc_id", "lang", "text"),
+            "CAST(length(text) AS DOUBLE)", 10, "CAST(doc_id AS STRING)", "lang",
+        ).select("doc_id", "lang", "priority"),
+        checks=[
+            # the corpus reduces to per-partition survivors INSIDE the
+            # MapInPandas; only those reach the one lang-keyed exchange
+            ("exactly one exchange (on the stratum)",
+             lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("exchange keyed on lang",
+             lambda p: "lang" in p.split("Exchange hashpartitioning(")[1][:40]),
+            ("local reduction is Arrow-batched (MapInPandas)",
+             lambda p: "MapInPandas" in p),
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
+        ],
+    )
     from sketchlib.relops import zorder_by
 
     show(
