@@ -547,10 +547,17 @@ def main():
             "build_bandwidth_bound": True,
         }
 
+    # KEY ORDER IS LOAD-BEARING (VERDICT r5 #1b): the driver records only
+    # the LAST 2000 chars of this line, so the big `scaling` blob goes
+    # first and the per-query map + frozen core14 subtotal go LAST — they
+    # must land inside the driver's tail window.
     result = {
         "metric": "headline_suite_seconds",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "pages_rows": PAGES_N,
+        **extra,
         "queries": queries,
         # fixed cross-round subset (VERDICT r3 #8): the suite grows as
         # queries are added, so round-over-round comparison uses this
@@ -558,9 +565,6 @@ def main():
         # strict indexing: a renamed or skipped core query must KeyError
         # here, never silently shrink the frozen subtotal
         "core14_seconds": round(sum(queries[q] for q in CORE14), 3),
-        "sf": os.path.basename(SF_DIR.rstrip("/")),
-        "pages_rows": PAGES_N,
-        **extra,
     }
     print(json.dumps(result))
 

@@ -35,13 +35,20 @@ CACHE_ROOT = "/tmp/sketchlib_cache"
 
 
 def _update_with_tree(h: "hashlib._Hash", path: str) -> None:
-    """Feed (relative-name, size) of every data file under ``path`` (a
-    parquet file OR directory) into the hash, in sorted order. Sizes +
-    names pin the content for the static, append-never testdata layout;
-    re-generated testdata changes sizes and therefore the key."""
+    """Feed (relative-name, size, mtime_ns) of every data file under
+    ``path`` (a parquet file OR directory) into the hash, in sorted order.
+    mtime_ns closes the size-collision hole (ADVICE r5): regenerated
+    testdata that happens to produce byte-identical file sizes would
+    otherwise alias to a stale cache."""
+
+    def _feed(full: str, rel: str) -> None:
+        st = os.stat(full)
+        h.update(rel.encode())
+        h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())
+
     if os.path.isfile(path):
-        h.update(os.path.basename(path).encode())
-        h.update(str(os.path.getsize(path)).encode())
+        _feed(path, os.path.basename(path))
         return
     for root, dirs, files in os.walk(path):
         dirs.sort()
@@ -49,8 +56,7 @@ def _update_with_tree(h: "hashlib._Hash", path: str) -> None:
             if f.startswith(".") or f.endswith(".crc"):
                 continue
             full = os.path.join(root, f)
-            h.update(os.path.relpath(full, path).encode())
-            h.update(str(os.path.getsize(full)).encode())
+            _feed(full, os.path.relpath(full, path))
 
 
 def content_cache_path(
@@ -85,17 +91,34 @@ def ensure_cached(path: str, writer: Callable[[str], None]) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
+    if os.path.exists(path):
+        # a dir exists but carries no _SUCCESS (writer that skipped the
+        # marker, or success-marker conf disabled): quarantine it so the
+        # publish below can land instead of wedging forever (ADVICE r5)
+        quarantine = f"{path}.markerless-{uuid.uuid4().hex}"
+        try:
+            os.rename(path, quarantine)
+        except OSError:
+            pass  # a concurrent builder already moved/published it
+        shutil.rmtree(quarantine, ignore_errors=True)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    writer(tmp)
     try:
-        os.rename(tmp, path)
-    except OSError:
-        # lost the publish race (or a stale complete dir appeared) — keep
-        # the winner's dir, drop ours
+        writer(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost the publish race (or a stale complete dir appeared) —
+            # keep the winner's dir, drop ours
+            pass
+    finally:
+        # a raising writer (or a lost race) must not leak the temp dir
         shutil.rmtree(tmp, ignore_errors=True)
     if not os.path.exists(marker):
-        raise RuntimeError(f"cache publish failed for {path}: no _SUCCESS marker")
+        raise RuntimeError(
+            f"cache publish failed for {path}: no _SUCCESS marker "
+            f"(remediation: rm -rf {path} and rerun)"
+        )
     return path
 
 

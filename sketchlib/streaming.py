@@ -134,7 +134,7 @@ def streaming_distinct_per_key(
     stream: DataFrame,
     key_col: str,
     count_col: str,
-    p: int = 12,
+    p: int | None = None,
     kind: str = "hll",
     k: int | None = None,
 ) -> DataFrame:
@@ -159,9 +159,18 @@ def streaming_distinct_per_key(
     if kind not in ("hll", "kmv"):
         raise ValueError("kind must be 'hll' or 'kmv'")
     if kind == "hll":
+        p = 12 if p is None else p
         if not 4 <= p <= 18:
             raise ValueError(f"hll precision p must be in [4, 18], got {p}")
     else:
+        if p is not None:
+            # p is HLL precision only; a caller passing p=100_000 with
+            # kind='kmv' would otherwise silently get k=256 (~6% error)
+            # instead of exact counts (ADVICE r5)
+            raise ValueError(
+                "p is the HLL precision and does not apply to kind='kmv'; "
+                "use k to set the KMV size"
+            )
         k = 256 if k is None else k
         if k < 8:
             raise ValueError(f"kmv size k must be >= 8, got {k} (rel-err ~1/sqrt(k-2))")

@@ -145,9 +145,9 @@ def _compare(spark, sf_dir, names):
     bad = []
     for name in names:
         s = value_hash(qs[name](spark, sf_dir))
-        o = value_hash(con.sql(oracles[name]).df())
+        o = value_hash(con.sql(oracles[name]).arrow())
         if s != o:
-            bad.append((name, s[:2], o[:2]))
+            bad.append((name, s[:3], o[:3]))
     return bad
 
 

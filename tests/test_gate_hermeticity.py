@@ -47,6 +47,45 @@ def test_value_hash_distinguishes_nan_from_null():
     assert value_hash(a) != value_hash(b)
 
 
+def test_value_hash_distinguishes_int_widths():
+    """A schema divergence whose values render identically (int32 vs
+    int64) must fail the replica — the driver's schema_match catches it,
+    so the replica has to as well (VERDICT r5 #2)."""
+    import pyarrow as pa
+
+    a = pa.table({"v": pa.array([1, 2], type=pa.int64())})
+    b = pa.table({"v": pa.array([1, 2], type=pa.int32())})
+    assert value_hash(a) != value_hash(b)
+    # same bits, same engine-rendered values, different widths: only the
+    # type channel distinguishes them
+    assert value_hash(a)[3] != value_hash(b)[3]
+
+
+def test_value_hash_distinguishes_date_from_timestamp():
+    import datetime
+
+    import pyarrow as pa
+
+    d = pa.table({"t": pa.array([datetime.date(2020, 1, 1)], type=pa.date32())})
+    ts = pa.table(
+        {"t": pa.array([datetime.datetime(2020, 1, 1)], type=pa.timestamp("us"))}
+    )
+    assert value_hash(d) != value_hash(ts)
+
+
+def test_value_hash_tz_and_unit_noise_collapses():
+    """Engine noise must NOT flip the hash: Spark emits timestamp[us,
+    tz=UTC], DuckDB emits naive timestamp[us] for the same instant."""
+    import datetime
+
+    import pyarrow as pa
+
+    instant = datetime.datetime(2021, 6, 1, 12, 30, 15)
+    naive = pa.table({"t": pa.array([instant], type=pa.timestamp("us"))})
+    utc = pa.table({"t": pa.array([instant], type=pa.timestamp("us", tz="UTC"))})
+    assert value_hash(naive) == value_hash(utc)
+
+
 def test_value_hash_row_and_column_order_insensitive():
     a = pd.DataFrame({"k": [1, 2], "v": [1.5, 2.5]})
     b = pd.DataFrame({"v": [2.5, 1.5], "k": [2, 1]})

@@ -339,7 +339,8 @@ def main():
             ("exactly one exchange (on the stratum)",
              lambda p: p.count("Exchange hashpartitioning") == 1),
             ("exchange keyed on lang",
-             lambda p: "lang" in p.split("Exchange hashpartitioning(")[1][:40]),
+             lambda p: (lambda parts: len(parts) > 1 and "lang" in parts[1][:40])(
+                 p.split("Exchange hashpartitioning("))),
             ("local reduction is Arrow-batched (MapInPandas)",
              lambda p: "MapInPandas" in p),
             ("no single-partition exchange",
