@@ -188,7 +188,16 @@ def extract_features(
 ) -> DataFrame:
     """Fixed-size float feature vector per payload: byte-histogram pooling
     (deterministic fake feature extractor with REAL batch mechanics — the
-    numpy path is exactly what a model-embedding UDF looks like)."""
+    numpy path is exactly what a model-embedding UDF looks like).
+
+    Fully vectorized over the Arrow batch (VERDICT r5 #6): all payloads
+    concatenate into ONE uint8 buffer, a repeat-expanded row index turns
+    the per-byte bin update into a single ``np.add.at`` scatter — no
+    per-payload Python loop. The normalized feature is computed as the
+    float64 ratio cast to float32 (``fl32(count / total)``) — the SAME
+    double-rounding a SQL engine produces for ``CAST(c/t AS REAL)``, so
+    the mm_extract_features oracle matches bit-for-bit. Empty payloads
+    yield the all-zero vector."""
     from pyspark.sql import types as T
 
     keep = keep if keep is not None else [c for c in df.columns if c != payload_col]
@@ -202,12 +211,18 @@ def extract_features(
 
     def run(batches):
         for pdf in batches:
-            feats = []
-            for b in pdf[payload_col]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
-                total = hist.sum()
-                feats.append((hist / total if total else hist).tolist())
-            yield pdf[keep].reset_index(drop=True).assign(features=feats)
+            vals = pdf[payload_col]
+            lens = vals.str.len().to_numpy(dtype=np.int64)
+            hist = np.zeros((len(vals), dim), dtype=np.int64)
+            if lens.sum():
+                cat = np.frombuffer(b"".join(map(bytes, vals)), dtype=np.uint8)
+                row = np.repeat(np.arange(len(vals)), lens)
+                np.add.at(hist, (row, cat % dim), 1)
+            totals = lens.reshape(-1, 1).astype(np.float64)
+            feats = np.divide(
+                hist, totals, out=np.zeros_like(hist, dtype=np.float64),
+                where=totals > 0,
+            ).astype(np.float32)
+            yield pdf[keep].reset_index(drop=True).assign(features=list(feats))
 
     return df.mapInPandas(run, out_schema)

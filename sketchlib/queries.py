@@ -778,9 +778,45 @@ def sketch_semi_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/check_oracles.py (which runs ALL entries) and pytest, and
 #: cf_membership_inserted additionally stays smoke-checked via entry().
 _GATE_FRONT = [
-    # r5 rotation (VERDICT r4 #5): the 22 entries with NO r4 driver row —
-    # their last driver greens are r1-r3, so they re-enter the window to
-    # get a current-generation green
+    # r6 rotation (two-round rule, VERDICT r5 #4): the 25 entries whose
+    # last driver green is r4 — they re-enter the window so r5∪r6 covers
+    # the whole registry with nothing older than two rounds
+    "simhash_fingerprints",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_embedding_lsh",
+    "incremental_dedup_new_docs",
+    "training_pipeline_e2e",
+    "ann_cosine_topk",
+    "ann_lsh_topk_batch",
+    "stratified_sample_per_lang",
+    "source_mixing_sample",
+    "curation_pipeline_e2e",
+    "asof_click_attribution",
+    "range_join_promo_windows",
+    "dedup_clusters_star",
+    "user_sessions",
+    "doc_sample_deterministic",
+    "vocab_top100",
+    "pack_sequences_2048",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "mm_resize_fit",
+    "doc_priority_sample_weighted",
+    # entries whose CODE changed in r6 — re-gate on current code
+    "priority_sample_per_lang",      # amortized-compaction local buffer
+    # new in r6 — first driver gating
+    "ann_ivf_topk_batch",            # batch IVF probe (VERDICT r5 #3)
+    "mm_extract_features",           # vectorized extractor (VERDICT r5 #6)
+    "doc_bpe_real_token_count",      # real byte-level BPE (VERDICT r5 #8)
+]
+_GATE_DEFERRED = [
+    # r5-front entries with FRESH r5 driver greens and unchanged code —
+    # safest to push past the 50-slot cutoff this round; they stay fully
+    # covered by tools/check_oracles.py (runs ALL entries) and pytest
     "doc_token_count",
     "doc_quality",
     "doc_fingerprint",
@@ -803,41 +839,10 @@ _GATE_FRONT = [
     "source_counts_salted",
     "hll_distinct_docs_per_lang",
     "tdigest_median_per_type",
-    # entries whose CODE changed in r5 (hermetic caches / strict oracles /
-    # hash-keyed spans / kmv endianness) — re-gate on current code
-    "hourly_continuous_aggregate",   # r4 RED → fixed (oracle cast + hermetic cache)
-    "sink_roundtrip_csv",            # r4 RED → fixed (oracle cast + run-scoped sink)
-    "sink_roundtrip_jsonl",          # run-scoped sink path
-    "ann_lsh_topk",                  # content-addressed signature cache
-    "ann_ivf_topk",                  # content-addressed index cache
-    "cross_doc_span_dedup",          # hash-keyed span shuffles
-    "decontaminate_vs_holdout",      # hash-keyed span shuffles
-    "decontaminate_sketched",        # hash-keyed span shuffles
-    "kmv_user_overlap",              # endianness-pinned KMV blobs
-    # new in r5 — first driver gating
-    "ann_ivf_topk_clustered",
-    "decontaminate_n13",
-    "priority_sample_per_lang",
-]
-_GATE_DEFERRED = [
-    # r4-front entries with FRESH r4 driver greens and unchanged code —
-    # safest to push past the 50-slot cutoff this round; they stay fully
-    # covered by tools/check_oracles.py (runs ALL entries) and pytest
-    "ann_lsh_topk_batch",
-    "stratified_sample_per_lang",
-    "source_mixing_sample",
-    "curation_pipeline_e2e",
-    "asof_click_attribution",
-    "range_join_promo_windows",
-    "dedup_clusters_star",
-    "user_sessions",
-    "doc_sample_deterministic",
-    "vocab_top100",
-    "pack_sequences_2048",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_resize_fit",
-    "doc_priority_sample_weighted",
+    "hourly_continuous_aggregate",
+    "sink_roundtrip_csv",
+    "sink_roundtrip_jsonl",
+    "kmv_user_overlap",
 ]
 
 

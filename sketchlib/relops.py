@@ -520,19 +520,41 @@ def priority_sample_stratified(
     schema = scored.schema
 
     def local_topk(batches):
-        buf = None
-        for pdf in batches:
-            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+        # AMORTIZED compaction (VERDICT r5 #7): a per-batch sort makes the
+        # loop O(batches × buffer·log) on wide strata. Instead raw batches
+        # accumulate until the pending rows exceed the kept survivor set
+        # (or a floor), then ONE sort+groupby-head compacts kept+pending —
+        # compaction cost doubles with the data it absorbs, so total sort
+        # work is O(total·log) amortized while the buffer stays bounded by
+        # ~2×max(strata·k, floor) + one batch. The kept frame is the same
+        # function of the rows seen either way (local top-k is associative
+        # and idempotent), so the output is IDENTICAL to the per-batch
+        # variant — property-tested in test_relops.
+        kept, pending, pending_rows = None, [], 0
+
+        def compact():
+            nonlocal kept, pending, pending_rows
+            frames = ([kept] if kept is not None else []) + pending
+            allf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
             # vectorized reduction: sort once, keep k rows per stratum
             # (dropna=False: a NULL stratum is a real group)
-            buf = (
-                buf.sort_values(["priority", "__k"], ascending=[False, True])
+            kept = (
+                allf.sort_values(["priority", "__k"], ascending=[False, True])
                 .groupby(stratum_col, dropna=False, sort=False)
                 .head(k)
                 .reset_index(drop=True)
             )
-        if buf is not None and len(buf):
-            yield buf
+            pending, pending_rows = [], 0
+
+        for pdf in batches:
+            pending.append(pdf)
+            pending_rows += len(pdf)
+            if pending_rows >= max(len(kept) if kept is not None else 0, 4096):
+                compact()
+        if pending:
+            compact()
+        if kept is not None and len(kept):
+            yield kept
 
     survivors = scored.mapInPandas(local_topk, schema=schema)
     rn = F.row_number().over(

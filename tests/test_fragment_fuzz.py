@@ -81,6 +81,8 @@ FUZZ_QUERIES = [
     "decontaminate_vs_holdout",
     "decontaminate_sketched",
     "decontaminate_n13",
+    "doc_bpe_real_token_count",
+    "mm_extract_features",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
@@ -294,6 +296,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_ivf_topk_clustered",
+    "ann_ivf_topk_batch",
 ]
 
 

@@ -541,6 +541,37 @@ def test_priority_sample_stratified_exact_per_group(spark):
     assert set(counts) == {5} and len(counts) == 3  # a, b, NULL strata
 
 
+def test_priority_sample_stratified_many_small_batches(spark):
+    """The amortized-compaction buffer (VERDICT r5 #7) must be invisible:
+    forcing many tiny Arrow batches through the local top-k (so several
+    mid-stream compactions actually fire — pending crosses the 4096 floor)
+    yields exactly the single-batch result."""
+    from sketchlib.relops import priority_sample_stratified
+
+    rows = [
+        (i, ["a", "b", "c", None][i % 4], float(1 + (i * 104729) % 997))
+        for i in range(10_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        out = priority_sample_stratified(
+            df.repartition(2), "w", k=7, key_sql="CAST(id AS STRING)", stratum_col="grp"
+        ).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    ref = priority_sample_stratified(
+        df.coalesce(1), "w", k=7, key_sql="CAST(id AS STRING)", stratum_col="grp"
+    ).toPandas()
+    key = lambda p: sorted(
+        map(tuple, p[["id", "grp", "priority"]].fillna("∅").values.tolist())
+    )
+    assert key(out) == key(ref)
+    counts = out.groupby("grp", dropna=False).size()
+    assert set(counts) == {7} and len(counts) == 4
+
+
 def test_priority_sample_stratified_rejects_bad_k(spark):
     import pytest
 
