@@ -220,17 +220,42 @@ def _code(tid: int) -> str:
     return "g" + format(tid, "04X")
 
 
-def bpe_count_oracle_sql(
-    merges: list[tuple[int, int]] | None = None, table: str = "documents"
-) -> str:
-    """DuckDB oracle: hex-dump the utf-8 bytes, re-chunk into anchor codes,
-    apply every merge as one ``replace`` (leftmost-first non-overlapping —
-    exactly the numpy sweep), count codes by length/5."""
+def bpe_codes_expr_sql(merges: list[tuple[int, int]] | None = None) -> str:
+    """The DuckDB expression producing the encoded anchor-code string for
+    the ``text`` column: hex-dump the utf-8 bytes, re-chunk into anchor
+    codes, apply every merge as one ``replace`` (leftmost-first
+    non-overlapping — exactly the numpy sweep)."""
     merges = MERGES if merges is None else merges
     expr = r"regexp_replace(hex(encode(text)), '([0-9A-F]{2})', 'g00\1', 'g')"
     for r, (a, b) in enumerate(merges):
         expr = f"replace({expr}, '{_code(a)}{_code(b)}', '{_code(256 + r)}')"
+    return expr
+
+
+def bpe_count_expr_sql(merges: list[tuple[int, int]] | None = None) -> str:
+    """DuckDB expression for the per-document real-BPE token count."""
+    return f"CAST(length({bpe_codes_expr_sql(merges)}) // 5 AS BIGINT)"
+
+
+def bpe_count_oracle_sql(
+    merges: list[tuple[int, int]] | None = None, table: str = "documents"
+) -> str:
+    """DuckDB oracle: anchor-code encoding, count codes by length/5."""
     return (
-        f"SELECT doc_id, CAST(length({expr}) // 5 AS BIGINT) AS n_bpe_real_tokens "
+        f"SELECT doc_id, {bpe_count_expr_sql(merges)} AS n_bpe_real_tokens "
+        f"FROM {table} WHERE text IS NOT NULL"
+    )
+
+
+def bpe_ids_oracle_sql(
+    merges: list[tuple[int, int]] | None = None, table: str = "documents"
+) -> str:
+    """DuckDB oracle for the FULL encoding: slice the anchor-code string
+    back into codes and parse each 4-hex payload as the token id."""
+    expr = bpe_codes_expr_sql(merges)
+    return (
+        "SELECT doc_id, "
+        f"list_transform(regexp_extract_all({expr}, 'g([0-9A-F]{{4}})', 1), "
+        "x -> CAST(CAST('0x' || x AS BIGINT) AS INTEGER)) AS token_ids "
         f"FROM {table} WHERE text IS NOT NULL"
     )

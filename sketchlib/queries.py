@@ -812,6 +812,9 @@ _GATE_FRONT = [
     "ann_ivf_topk_batch",            # batch IVF probe (VERDICT r5 #3)
     "mm_extract_features",           # vectorized extractor (VERDICT r5 #6)
     "doc_bpe_real_token_count",      # real byte-level BPE (VERDICT r5 #8)
+    "doc_bpe_token_ids",             # full BPE encoding
+    "pack_sequences_bpe_1024",       # packing on real BPE counts
+    "quality_classifier_scores",     # hashed linear quality classifier
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

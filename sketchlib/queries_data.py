@@ -109,6 +109,82 @@ def doc_bpe_real_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(_docs(spark, sf_dir))
 
 
+def _bpe_ids_oracle() -> str:
+    from sketchlib.bpe import bpe_ids_oracle_sql
+
+    return bpe_ids_oracle_sql()
+
+
+@register("doc_bpe_token_ids", _bpe_ids_oracle())
+def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL real-BPE encoding (doc_id, token_ids array<int>) — the
+    column a packing/training job actually consumes. Same vectorized batch
+    kernel as doc_bpe_real_token_count; the oracle slices the anchor-code
+    string back into codes and parses each 4-hex payload as the id
+    (list_transform over regexp_extract_all)."""
+    from sketchlib.bpe import bpe_token_ids
+
+    return bpe_token_ids(_docs(spark, sf_dir))
+
+
+def _pack_bpe_oracle() -> str:
+    from sketchlib.bpe import bpe_count_expr_sql
+
+    return (
+        "WITH t AS (SELECT doc_id, {tc} AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS k "
+        "           FROM documents WHERE text IS NOT NULL), "
+        "c AS (SELECT doc_id, n_tokens, "
+        "             SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum "
+        "      FROM t) "
+        "SELECT doc_id, n_tokens, "
+        "       CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin_id, "
+        "       CAST((cum - n_tokens) % 1024 AS BIGINT) AS start_off FROM c"
+    ).format(tc=bpe_count_expr_sql())
+
+
+@register("pack_sequences_bpe_1024", _pack_bpe_oracle())
+def pack_sequences_bpe_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by REAL BPE token counts (the production
+    shape: the packer's budget is measured in the same tokens the model
+    trains on, not a whitespace proxy). bpe_token_count feeds
+    pack_sequences via tokens_col — the count never round-trips through
+    the driver; NULL texts drop with the counts (oracle filters
+    identically)."""
+    from sketchlib.bpe import bpe_token_count
+    from sketchlib.textops import pack_sequences
+
+    counts = bpe_token_count(_docs(spark, sf_dir))
+    return pack_sequences(counts, budget=1024, tokens_col="n_bpe_real_tokens")
+
+
+_CLASSIFIER_ORACLE_TMPL = (
+    "SELECT doc_id, s AS quality_score, s >= 0 AS quality_keep "
+    "FROM (SELECT doc_id, {expr} AS s FROM documents WHERE text IS NOT NULL)"
+)
+
+
+def _classifier_oracle() -> str:
+    from sketchlib.textops import classifier_score_sql
+
+    return _CLASSIFIER_ORACLE_TMPL.format(expr=classifier_score_sql("duckdb"))
+
+
+@register("quality_classifier_scores", _classifier_oracle())
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (Joulin 2016 shape):
+    tokens hash into 1024 feature buckets, the doc score is the integer
+    sum of bucket weights (weight table derived bit-portably from the
+    bucket id — a trained model ships the same table shape). ONE
+    zero-shuffle codegen projection: no explode, no groupBy, the token
+    array referenced once per row (r3 CollapseProject rule). Score and
+    keep-decision are engine-exact integers."""
+    from sketchlib.textops import with_classifier_score
+
+    return with_classifier_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score", "quality_keep"
+    )
+
+
 @register(
     "doc_rolling_fingerprint",
     f"SELECT doc_id, {rolling_fingerprint_sql('duckdb')} AS rolling_fp FROM documents",

@@ -521,3 +521,63 @@ def pack_sequences(
         F.expr(f"__start div {int(budget)}").alias("bin_id"),
         F.expr(f"__start % {int(budget)}").alias("start_off"),
     )
+
+
+# ---------------------------------------- hashed linear quality classifier
+
+
+def classifier_score_sql(
+    dialect: str, n_buckets: int = 1024, seed: int = 7, col: str = "text"
+) -> str:
+    """Portable expression for a fastText-style HASHED LINEAR quality
+    classifier score (Joulin et al. 2016 shape): each whitespace token
+    hashes to one of ``n_buckets`` feature buckets; the score is the sum
+    of the buckets' weights. The weight table is itself derived from the
+    bucket id by the repo's bit-portable md5→int fragment (integers in
+    [-1000, 1000]) — data, not code: a trained model ships the same
+    (bucket → weight) shape as a real table.
+
+    All arithmetic is INTEGER (bucket mod, weight mod, sum), so the score
+    is engine-exact — same discipline as priority sampling's dyadic u.
+    The whole thing is ONE projection over the token array (array
+    referenced once per row — the r3 CollapseProject rule): no explode,
+    no shuffle, whole-stage codegen end to end.
+    """
+    arr = token_array_expr(dialect, col)
+    if dialect == "spark":
+        bucket = "CAST(conv(substr(md5(t), 1, 13), 16, 10) AS BIGINT) % " + str(n_buckets)
+        weight = (
+            f"CAST(conv(substr(md5(concat('qw:', CAST(b AS STRING), ':', '{seed}')), 1, 13), 16, 10) AS BIGINT)"
+            " % 2001 - 1000"
+        )
+        return (
+            f"aggregate(transform(transform({arr}, t -> {bucket}), b -> {weight}), "
+            "0L, (acc, x) -> acc + x)"
+        )
+    bucket = f"CAST(('0x' || substr(md5(t), 1, 13)) AS BIGINT) % {n_buckets}"
+    weight = (
+        f"CAST(('0x' || substr(md5(concat('qw:', CAST(b AS VARCHAR), ':', '{seed}'))"
+        ", 1, 13)) AS BIGINT) % 2001 - 1000"
+    )
+    # CAST: DuckDB list_sum widens to DECIMAL/HUGEINT (the CLAUDE.md
+    # integer-SUM rule) — Spark's aggregate stays BIGINT
+    return (
+        f"CAST(COALESCE(list_sum(list_transform(list_transform({arr}, t -> {bucket}), "
+        f"b -> {weight})), 0) AS BIGINT)"
+    )
+
+
+def with_classifier_score(
+    docs: DataFrame, n_buckets: int = 1024, seed: int = 7, threshold: int = 0
+) -> DataFrame:
+    """(…docs…, quality_score BIGINT, quality_keep BOOLEAN): the hashed
+    linear classifier score and its threshold decision. NULL texts drop
+    (same contract as every text operator / the oracle's IS NOT NULL)."""
+    return (
+        docs.where(F.col("text").isNotNull())
+        .withColumn(
+            "quality_score",
+            F.expr(classifier_score_sql("spark", n_buckets, seed)).cast("long"),
+        )
+        .withColumn("quality_keep", F.col("quality_score") >= F.lit(threshold))
+    )

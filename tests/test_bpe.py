@@ -130,3 +130,21 @@ def test_spark_bpe_token_count(spark):
            for r in bpe_token_count(df).collect()}
     want = {i: len(encode_reference(s)) for i, s in rows if s is not None}
     assert got == want
+
+def test_spark_bpe_token_ids_and_ids_oracle(spark):
+    """Full-encoding surface: Spark token_ids match the reference encoder,
+    and the ids ORACLE parses the anchor-code string back to the same
+    arrays (hex-payload round trip)."""
+    from sketchlib.bpe import bpe_ids_oracle_sql, bpe_token_ids
+
+    rows = [(0, "the training data"), (1, ""), (2, None),
+            (3, "aaaa the the"), (4, "héllo ✓ über")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["token_ids"]) for r in bpe_token_ids(df).collect()}
+    want = {i: encode_reference(s) for i, s in rows if s is not None}
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oids = {d: list(v) for d, v in con.sql(bpe_ids_oracle_sql()).fetchall()}
+    assert oids == want

@@ -83,6 +83,9 @@ FUZZ_QUERIES = [
     "decontaminate_n13",
     "doc_bpe_real_token_count",
     "mm_extract_features",
+    "doc_bpe_token_ids",
+    "pack_sequences_bpe_1024",
+    "quality_classifier_scores",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

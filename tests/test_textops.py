@@ -282,3 +282,30 @@ def test_top_terms_differential_random_corpus(spark):
         for r in top_terms(df, k=3).collect()
     }
     assert got == exp
+
+
+def test_classifier_score_cross_engine_exact(spark):
+    """Hashed-linear classifier scores are engine-EXACT integers (bucket
+    mod + weight mod + integer sum — no float anywhere), NULL text drops,
+    empty/whitespace text scores 0 (keep), and the decision column is the
+    pure threshold."""
+    import duckdb
+
+    from sketchlib.textops import classifier_score_sql, with_classifier_score
+
+    rows = [(0, "the quick brown fox"), (1, ""), (2, None), (3, "   \t "),
+            (4, "Hé  llo   Wörld x"), (5, "spam " * 30 + "signal")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["quality_score"], r["quality_keep"])
+           for r in with_classifier_score(df).collect()}
+    assert 2 not in out  # NULL dropped
+    assert out[1] == (0, True) and out[3] == (0, True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = dict(con.sql(
+        "SELECT doc_id, " + classifier_score_sql("duckdb")
+        + " AS s FROM documents WHERE text IS NOT NULL").fetchall())
+    assert oracle == {k: v[0] for k, v in out.items()}
+    for k, (s, keep) in out.items():
+        assert keep == (s >= 0)

@@ -451,6 +451,23 @@ def main():
              lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
         ],
     )
+    from sketchlib.textops import with_classifier_score
+
+    show(
+        "quality classifier (hashed linear model, zero-shuffle projection)",
+        with_classifier_score(docs).select("doc_id", "quality_score", "quality_keep"),
+        checks=[
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("whole-stage codegen", lambda p: "*(1)" in p),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+            # the token array is referenced once per row (transform-over-
+            # array, not index arithmetic): the normalize+split subtree
+            # must appear exactly once (r3 CollapseProject rule)
+            ("text normalization evaluated once",
+             lambda p: p.count("regexp_replace") == 1),
+        ],
+    )
     show(
         "top terms (tf/df join on term, per-doc bounded window)",
         top_terms(docs, k=3),
