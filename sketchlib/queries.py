@@ -815,6 +815,9 @@ _GATE_FRONT = [
     "doc_bpe_token_ids",             # full BPE encoding
     "pack_sequences_bpe_1024",       # packing on real BPE counts
     "quality_classifier_scores",     # hashed linear quality classifier
+    "url_canonicalize",              # webtext url normalization (north_star: keys on url)
+    "url_dedup_canonical",           # canonical-url dedup (CC stage one)
+    "lm_bigram_scores",              # CCNet-style LM quality scoring
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

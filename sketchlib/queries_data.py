@@ -169,6 +169,91 @@ def _classifier_oracle() -> str:
     return _CLASSIFIER_ORACLE_TMPL.format(expr=classifier_score_sql("duckdb"))
 
 
+def _url_source_sql() -> str:
+    from sketchlib.urlops import synth_url_sql
+
+    return (
+        f"SELECT doc_id, {synth_url_sql('duckdb')} AS url "
+        "FROM documents WHERE doc_id IS NOT NULL"
+    )
+
+
+def _url_canon_oracle() -> str:
+    from sketchlib.urlops import canonical_url_cte_sql
+
+    withs, last = canonical_url_cte_sql("duckdb", _url_source_sql())
+    return f"{withs} SELECT doc_id, url, canonical_url FROM {last}"
+
+
+@register("url_canonicalize", _url_canon_oracle())
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over the deterministic synthetic url fixture
+    (north_star keys 'on url'; the fixture is md5(doc_id)-derived in both
+    engines — the clustered-embeddings pattern). Rules: drop fragment,
+    lowercase scheme+host, strip default port, normalize path, drop
+    tracking params + bytewise-sort the rest. Zero-shuffle codegen
+    projection; oracle runs the SAME staged fragments as CTEs."""
+    from sketchlib.urlops import with_canonical_url, with_synth_url
+
+    return with_canonical_url(with_synth_url(_docs(spark, sf_dir)))
+
+
+def _url_dedup_oracle() -> str:
+    from sketchlib.urlops import canonical_url_cte_sql
+
+    withs, last = canonical_url_cte_sql("duckdb", _url_source_sql())
+    return (
+        f"{withs} SELECT canonical_url, min(doc_id) AS keeper_doc_id, "
+        f"CAST(count(*) AS BIGINT) AS n_dups FROM {last} GROUP BY 1"
+    )
+
+
+@register("url_dedup_canonical", _url_dedup_oracle())
+def url_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (stage one of every webtext curation run —
+    Common Crawl dedups by URL before any content pass): keeper = min
+    doc_id per canonical url, plus the group size. ONE hash shuffle with
+    map-side partial min/count — the exchange carries ~one row per
+    distinct canonical url per map partition."""
+    from sketchlib.urlops import url_dedup_canonical
+
+    return url_dedup_canonical(_docs(spark, sf_dir))
+
+
+_LM_ORACLE = """
+WITH toks AS (SELECT doc_id, {ta} AS a FROM documents WHERE text IS NOT NULL),
+bg AS (SELECT doc_id, unnest(CASE WHEN len(a) < 2 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]) END) AS bigram
+       FROM toks),
+m AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM m),
+p AS (SELECT bigram, c * 1000000 // tot AS pq FROM m, t)
+SELECT doc_id, CAST(sum(pq) AS BIGINT) AS lm_score_q,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(CAST(sum(pq) AS BIGINT) // count(*) AS BIGINT) AS lm_avg_q
+FROM bg JOIN p USING (bigram) GROUP BY 1
+"""
+
+
+def _lm_oracle() -> str:
+    from sketchlib.textops import token_array_expr
+
+    return _LM_ORACLE.format(ta=token_array_expr("duckdb"))
+
+
+@register("lm_bigram_scores", _lm_oracle())
+def lm_bigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, self-fit on the corpus: bigram
+    probabilities quantized to integers (count * 1e6 div total — engine-
+    exact), each doc scored as the sum over its bigram occurrences. One
+    bigram shuffle (map-side combined), model broadcast back onto the
+    occurrence stream, final groupBy on 8-byte doc_ids. Docs with < 2
+    tokens drop (no bigrams), matching the oracle's inner join."""
+    from sketchlib.textops import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
 @register("quality_classifier_scores", _classifier_oracle())
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality classifier (Joulin 2016 shape):

@@ -567,6 +567,54 @@ def classifier_score_sql(
     )
 
 
+def bigram_lm_scores(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """CCNet-style LM quality scoring, self-fit: fit a bigram unigram-free
+    language model on the corpus (count / total, quantized to integers:
+    ``pq = count * scale div total`` — exact in both engines), then score
+    every document as the sum of its bigram occurrences' ``pq``. Output
+    (doc_id, lm_score_q, n_bigrams, lm_avg_q); docs with fewer than two
+    tokens have no bigrams and drop (the oracle's inner join does the
+    same). All arithmetic is non-negative integer, so scores are
+    engine-exact — the same discipline as the hashed classifier.
+
+    Scale shape: ONE bigram-string shuffle (the model fit, map-side
+    combined so the exchange carries ~distinct bigrams per map partition,
+    not occurrences); the model is total-joined via a broadcast 1-row
+    aggregate and joined back to the occurrence stream (AQE broadcasts it
+    when the vocab is small; at an unbounded vocab this becomes the usual
+    shuffled hash join on the bigram — both sides already hash cleanly);
+    the final groupBy shuffles 8-byte doc_ids only. The occurrence stream
+    is recomputed for the scoring pass rather than checkpointed — a scan
+    + regex projection is cheaper than materializing one row per bigram
+    occurrence at 10^12 docs.
+    """
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.expr(token_array_expr("spark")).alias("__a")
+    )
+    bg = toks.select(
+        "doc_id", F.explode(F.expr(ngram_array_expr("__a", 2))).alias("bigram")
+    )
+    model = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("__c"))
+    total = model.agg(F.sum("__c").alias("__tot"))
+    pq = model.crossJoin(F.broadcast(total)).selectExpr(
+        "bigram", f"__c * {int(scale)} div __tot AS __pq"
+    )
+    return (
+        bg.join(pq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__pq").alias("lm_score_q"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .selectExpr(
+            "doc_id",
+            "lm_score_q",
+            "n_bigrams",
+            "lm_score_q div n_bigrams AS lm_avg_q",
+        )
+    )
+
+
 def with_classifier_score(
     docs: DataFrame, n_buckets: int = 1024, seed: int = 7, threshold: int = 0
 ) -> DataFrame:

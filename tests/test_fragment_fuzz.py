@@ -86,6 +86,9 @@ FUZZ_QUERIES = [
     "doc_bpe_token_ids",
     "pack_sequences_bpe_1024",
     "quality_classifier_scores",
+    "url_canonicalize",
+    "url_dedup_canonical",
+    "lm_bigram_scores",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

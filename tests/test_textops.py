@@ -284,6 +284,25 @@ def test_top_terms_differential_random_corpus(spark):
     assert got == exp
 
 
+def test_bigram_lm_scores_hand_computed(spark):
+    """Self-fit bigram LM on a corpus small enough to score by hand:
+    corpus 'a b a b' + 'a b' has bigrams {a b: 3, b a: 1}, total 4, so
+    pq(a b) = 750000, pq(b a) = 250000. Docs with < 2 tokens (or NULL)
+    drop."""
+    from sketchlib.textops import bigram_lm_scores
+
+    rows = [(0, "a b a b"), (1, "a b"), (2, "x"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lm_score_q"], r["n_bigrams"], r["lm_avg_q"])
+        for r in bigram_lm_scores(df).collect()
+    }
+    assert got == {
+        0: (750000 + 250000 + 750000, 3, 1750000 // 3),
+        1: (750000, 1, 750000),
+    }
+
+
 def test_classifier_score_cross_engine_exact(spark):
     """Hashed-linear classifier scores are engine-EXACT integers (bucket
     mod + weight mod + integer sum — no float anywhere), NULL text drops,

@@ -468,6 +468,46 @@ def main():
              lambda p: p.count("regexp_replace") == 1),
         ],
     )
+    from sketchlib.textops import bigram_lm_scores
+    from sketchlib.urlops import url_dedup_canonical, with_canonical_url, with_synth_url
+
+    show(
+        "url canonicalize (zero-shuffle codegen projection over synth fixture)",
+        with_canonical_url(with_synth_url(docs)),
+        checks=[
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("whole-stage codegen", lambda p: "*(1)" in p),
+            ("scan prunes to doc_id only",
+             lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+        ],
+    )
+    show(
+        "url dedup (one hash shuffle on canonical, map-side partial min/count)",
+        url_dedup_canonical(docs),
+        checks=[
+            ("exactly one exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("map-side partial min+count",
+             lambda p: "partial_min" in p or "partial min" in p.lower() or "min#" in p),
+            ("scan prunes to doc_id only",
+             lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+        ],
+    )
+    show(
+        "bigram LM scores (one bigram shuffle, broadcast total, doc_id agg)",
+        bigram_lm_scores(docs),
+        checks=[
+            # bigram model fit + final doc_id agg; the model-score join is
+            # broadcast (1-row total via BroadcastNestedLoop on a single
+            # row is the intended shape, pq side broadcast by AQE)
+            ("bigram exchange is map-side combined",
+             lambda p: "partial_count" in p or "count#" in p),
+            ("final agg keyed on doc_id",
+             lambda p: any("doc_id" in seg[:40]
+                           for seg in p.split("Exchange hashpartitioning(")[1:])),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
     show(
         "top terms (tf/df join on term, per-doc bounded window)",
         top_terms(docs, k=3),
