@@ -429,6 +429,29 @@ def main():
         lambda: gopher_quality_filter(docs).filter(F.col("keep")).count(),
     )
 
+    # r6 additions: real BPE counting, hashed classifier, bigram LM,
+    # canonical-url dedup (all over the same fanned-out docs input)
+    from sketchlib.bpe import bpe_token_count
+    from sketchlib.textops import bigram_lm_scores, with_classifier_score
+    from sketchlib.urlops import url_dedup_canonical
+
+    timed(
+        "doc_bpe_real_token_count",
+        lambda: bpe_token_count(docs).agg(F.sum("n_bpe_real_tokens")).collect(),
+    )
+    timed(
+        "quality_classifier_scores",
+        lambda: with_classifier_score(docs).agg(F.sum("quality_score")).collect(),
+    )
+    timed(
+        "lm_bigram_scores",
+        lambda: bigram_lm_scores(docs).agg(F.sum("lm_score_q")).collect(),
+    )
+    timed(
+        "url_dedup_canonical",
+        lambda: url_dedup_canonical(docs).agg(F.sum("n_dups")).collect(),
+    )
+
     from sketchlib.dedup import benchmark_span_overlap
     from sketchlib.relops import priority_sample, sample_by_hash
 
