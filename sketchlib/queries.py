@@ -818,6 +818,7 @@ _GATE_FRONT = [
     "url_canonicalize",              # webtext url normalization (north_star: keys on url)
     "url_dedup_canonical",           # canonical-url dedup (CC stage one)
     "lm_bigram_scores",              # CCNet-style LM quality scoring
+    "pack_batches_bpe_1024",         # materialized packed training rows
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

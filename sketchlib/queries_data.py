@@ -157,6 +157,46 @@ def pack_sequences_bpe_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(counts, budget=1024, tokens_col="n_bpe_real_tokens")
 
 
+_PACK_BATCHES_ORACLE_TMPL = """
+WITH ids AS ({ids_sql}),
+t AS (SELECT doc_id, token_ids, CAST(len(token_ids) AS BIGINT) AS n,
+             md5(CAST(doc_id AS VARCHAR)) AS k FROM ids),
+c AS (SELECT doc_id, token_ids, n,
+             CAST(SUM(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n
+                  AS BIGINT) AS start FROM t),
+seg AS (SELECT b, greatest(start, b * {b}) - b * {b} AS pos,
+               list_slice(token_ids,
+                          greatest(start, b * {b}) - start + 1,
+                          least(start + n, (b + 1) * {b}) - start) AS piece
+        FROM c, UNNEST(range(start // {b}, (start + n - 1) // {b} + 1)) AS u(b)
+        WHERE n > 0)
+SELECT b AS bin_id, flatten(list(piece ORDER BY pos)) AS token_ids,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(piece)) AS BIGINT) AS n_tokens
+FROM seg GROUP BY 1
+"""
+
+
+def _pack_batches_oracle() -> str:
+    from sketchlib.bpe import bpe_ids_oracle_sql
+
+    return _PACK_BATCHES_ORACLE_TMPL.format(ids_sql=bpe_ids_oracle_sql(), b=1024)
+
+
+@register("pack_batches_bpe_1024", _pack_batches_oracle())
+def pack_batches_bpe_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED packed training rows (the artifact a loader
+    reads): real-BPE token ids laid out by pack_sequences' deterministic
+    concat-then-chunk order, each bin exactly 1024 ids (last ragged),
+    straddling docs split across neighbouring bins. Engine-exact integer
+    ids end to end; the oracle rebuilds the same layout with a window
+    cumsum and fills bins with list_slice + ordered list aggregation."""
+    from sketchlib.bpe import bpe_token_ids
+    from sketchlib.textops import pack_batches
+
+    return pack_batches(bpe_token_ids(_docs(spark, sf_dir)), budget=1024)
+
+
 _CLASSIFIER_ORACLE_TMPL = (
     "SELECT doc_id, s AS quality_score, s >= 0 AS quality_keep "
     "FROM (SELECT doc_id, {expr} AS s FROM documents WHERE text IS NOT NULL)"

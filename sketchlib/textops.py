@@ -567,6 +567,68 @@ def classifier_score_sql(
     )
 
 
+def pack_batches(
+    ids_df: DataFrame, budget: int, id_col: str = "doc_id", ids_col: str = "token_ids"
+) -> DataFrame:
+    """Materialize the packed training rows the loader actually reads:
+    ``pack_sequences`` computes the concat-then-chunk LAYOUT (which bin a
+    doc starts in); this fills the bins — each output row is one bin of
+    exactly ``budget`` token ids (the last bin ragged), with documents
+    that straddle a bin boundary split across the neighbouring rows,
+    exactly the standard pretraining batch shape.
+
+    Input: (id, token_ids array<int>). Output: (bin_id, token_ids,
+    n_docs, n_tokens) where n_docs counts SEGMENTS landing in the bin (a
+    straddling doc counts once per bin it touches). Zero-token docs hold
+    a layout slot but contribute no ids — they are filtered before the
+    bin explode (also: ``sequence(lo, hi)`` DESCENDS when hi < lo, which
+    is exactly what an empty doc ending on a bin boundary would produce).
+
+    Distributed shape: the layout's range shuffle + one id-join on the
+    doc id + the final bin_id groupBy — all 8-byte-keyed except the join,
+    whose payload (the id arrays) IS the deliverable. The id arrays are
+    eagerly localCheckpointed once and reused by both the layout (via
+    size()) and the fill, so the upstream encoder runs once. Per-bin
+    state is bounded by ``budget`` ints, so executor memory is flat in
+    corpus size.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    b = int(budget)
+    ids = ids_df.select(id_col, ids_col).localCheckpoint(eager=True)
+    counts = ids.select(
+        id_col, F.expr(f"CAST(size({ids_col}) AS BIGINT)").alias("__n")
+    )
+    layout = pack_sequences(counts, budget=b, id_col=id_col, tokens_col="__n")
+    segs = (
+        layout.where(F.col("n_tokens") > 0)
+        .join(ids, id_col)
+        .selectExpr(
+            f"bin_id * {b} + start_off AS __start",
+            "n_tokens AS __n",
+            f"{ids_col} AS __ids",
+        )
+        .selectExpr(
+            "*",
+            f"explode(sequence(__start div {b}, (__start + __n - 1) div {b})) AS bin_id",
+        )
+        .selectExpr(
+            "bin_id",
+            f"greatest(__start, bin_id * {b}) - bin_id * {b} AS pos",
+            f"slice(__ids, CAST(greatest(__start, bin_id * {b}) - __start + 1 AS INT), "
+            f"CAST(least(__start + __n, (bin_id + 1) * {b}) "
+            f"- greatest(__start, bin_id * {b}) AS INT)) AS piece",
+        )
+    )
+    return segs.groupBy("bin_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(pos, piece))), s -> s.piece))"
+        ).alias("token_ids"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(sum(size(piece)) AS BIGINT)").alias("n_tokens"),
+    )
+
+
 def bigram_lm_scores(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
     """CCNet-style LM quality scoring, self-fit: fit a bigram unigram-free
     language model on the corpus (count / total, quantized to integers:

@@ -89,6 +89,7 @@ FUZZ_QUERIES = [
     "url_canonicalize",
     "url_dedup_canonical",
     "lm_bigram_scores",
+    "pack_batches_bpe_1024",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

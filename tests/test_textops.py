@@ -124,6 +124,38 @@ def test_pack_sequences_rejects_bad_budget(spark, sf_dir):
         pack_sequences(docs, budget=0)
 
 
+def test_pack_batches_bins_are_exact_contiguous_slices(spark):
+    """Materialized bins must (a) each hold exactly `budget` ids except
+    the last, (b) concatenate — in bin order — to the concat of the docs
+    in the layout's hash order, (c) be identical under repartitioning,
+    and (d) drop zero-token docs without disturbing neighbours."""
+    import hashlib
+
+    from sketchlib.textops import pack_batches
+
+    rows = [(i, list(range(i * 100, i * 100 + n))) for i, n in enumerate([5, 0, 13, 7, 31, 2, 0, 19])]
+    ids = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    got = {r["bin_id"]: r for r in pack_batches(ids, budget=16).collect()}
+    got_rep = {
+        r["bin_id"]: (r["token_ids"], r["n_docs"], r["n_tokens"])
+        for r in pack_batches(ids.repartition(5), budget=16).collect()
+    }
+    assert {b: (r["token_ids"], r["n_docs"], r["n_tokens"]) for b, r in got.items()} == got_rep
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    stream = [t for _, toks in order for t in toks]
+    assert set(got) == set(range((len(stream) + 15) // 16))
+    flat = [t for b in sorted(got) for t in got[b]["token_ids"]]
+    assert flat == stream
+    for b in sorted(got)[:-1]:
+        assert len(got[b]["token_ids"]) == 16, b
+    for b, r in got.items():
+        assert r["n_tokens"] == len(r["token_ids"])
+        assert r["n_docs"] >= 1
+
+    with pytest.raises(ValueError):
+        pack_batches(ids, budget=0)
+
+
 def test_repetition_stats_ground_truth(spark):
     from sketchlib.textops import with_repetition_stats
 
