@@ -305,6 +305,30 @@ def main():
              lambda p: "Exchange SinglePartition" not in p),
         ],
     )
+    from sketchlib.textops import pack_batches
+
+    show(
+        # both inputs are eager localCheckpoints (ids once, layout inside
+        # pack_sequences), so the visible plan is exactly the fill: the
+        # doc_id equi-join, the bin explode, and the bin_id groupBy
+        "pack_batches (bin fill: one id-join + one bin_id groupBy)",
+        pack_batches(
+            docs.selectExpr(
+                "doc_id", "sequence(1, length(text) % 7) AS token_ids"
+            ),
+            budget=512,
+        ),
+        checks=[
+            ("fill join is hash/merge on doc_id",
+             lambda p: "SortMergeJoin" in p or "HashJoin" in p),
+            ("final agg exchanges on 8-byte bin_id",
+             lambda p: "hashpartitioning(bin_id" in p),
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
+            ("map-side partial agg before the bin exchange",
+             lambda p: "partial_count" in p or "HashAggregate" in p),
+        ],
+    )
     from sketchlib.relops import priority_sample
 
     show(
