@@ -819,6 +819,8 @@ _GATE_FRONT = [
     "url_dedup_canonical",           # canonical-url dedup (CC stage one)
     "lm_bigram_scores",              # CCNet-style LM quality scoring
     "pack_batches_bpe_1024",         # materialized packed training rows
+    "html_extract_text",             # WET-from-WARC extraction stage
+    "html_extract_links",            # outlink extraction (web-graph edges)
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

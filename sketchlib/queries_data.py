@@ -260,6 +260,63 @@ def url_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_canonical(_docs(spark, sf_dir))
 
 
+def _html_source_sql() -> str:
+    from sketchlib.htmlops import synth_html_sql
+
+    return (
+        f"SELECT doc_id, {synth_html_sql('duckdb')} AS html "
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"
+    )
+
+
+def _html_text_oracle() -> str:
+    from sketchlib.htmlops import html_cte_sql
+
+    withs, last = html_cte_sql("duckdb", _html_source_sql())
+    return (
+        f"{withs} SELECT doc_id, main_text, "
+        f"CAST(length(html) AS BIGINT) AS n_chars_html, "
+        f"CAST(length(main_text) AS BIGINT) AS n_chars_text FROM {last}"
+    )
+
+
+@register("html_extract_text", _html_text_oracle())
+def html_extract_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-from-WARC extraction over the deterministic synthetic page
+    fixture (document text entity-encoded into the body, boilerplate +
+    script/style/comment toggled by a variant hash): strip blocks, block
+    tags → newline, tags → space, decode entities, normalize whitespace.
+    Zero-shuffle codegen projection; the oracle runs the SAME staged
+    fragments as CTEs (urlops discipline). Extraction is round-trip
+    exact on the payload — property-tested in test_htmlops."""
+    from sketchlib.htmlops import html_extract_text
+
+    return html_extract_text(_docs(spark, sf_dir))
+
+
+def _html_links_oracle() -> str:
+    from sketchlib.htmlops import _HREF_RX
+    from sketchlib.textops import _rx
+
+    lit = _rx("duckdb", _HREF_RX)
+    return (
+        f"WITH p AS ({_html_source_sql()}) "
+        f"SELECT doc_id, regexp_extract_all(html, {lit}, 1) AS hrefs, "
+        f"CAST(len(regexp_extract_all(html, {lit}, 1)) AS BIGINT) AS n_links FROM p"
+    )
+
+
+@register("html_extract_links", _html_links_oracle())
+def html_extract_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (the web-graph edge stage): href values in
+    document order as an array value — zero-shuffle projection, no
+    explode; the graph build downstream joins on the canonicalized
+    target, not here."""
+    from sketchlib.htmlops import html_extract_links
+
+    return html_extract_links(_docs(spark, sf_dir))
+
+
 _LM_ORACLE = """
 WITH toks AS (SELECT doc_id, {ta} AS a FROM documents WHERE text IS NOT NULL),
 bg AS (SELECT doc_id, unnest(CASE WHEN len(a) < 2 THEN []::VARCHAR[]

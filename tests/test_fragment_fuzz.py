@@ -90,6 +90,8 @@ FUZZ_QUERIES = [
     "url_dedup_canonical",
     "lm_bigram_scores",
     "pack_batches_bpe_1024",
+    "html_extract_text",
+    "html_extract_links",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

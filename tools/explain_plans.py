@@ -305,6 +305,21 @@ def main():
              lambda p: "Exchange SinglePartition" not in p),
         ],
     )
+    from sketchlib.htmlops import html_extract_text
+
+    show(
+        "html_extract_text (WET extraction: zero-shuffle codegen projection)",
+        html_extract_text(docs),
+        checks=[
+            ("no exchange (pure projection)", lambda p: "Exchange" not in p),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+            # the `*(1)` prefix marks WholeStageCodegen stage 1 in this
+            # output mode — one fused stage from scan to projection
+            ("whole-stage codegen covers the strip chain",
+             lambda p: "*(1) Project" in p and "*(2)" not in p),
+        ],
+    )
     from sketchlib.textops import pack_batches
 
     show(
