@@ -40,6 +40,53 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Dolma/C4-style corpus-wide exact PARAGRAPH dedup: split each doc
+    on newline runs, keep only the globally-first occurrence of each
+    whitespace-normalized paragraph (first = smallest (doc_id, pos)),
+    and reassemble each doc from its surviving paragraphs in original
+    order. Output: (doc_id, kept_text, n_paras, n_kept) — docs with zero
+    non-empty paragraphs are absent; a doc whose every paragraph is a
+    duplicate keeps an empty kept_text (row retained: the removal signal
+    IS the deliverable).
+
+    Scale shape: the first-occurrence window partitions on
+    ``xxhash64(norm)`` — paragraphs exchange under an 8-byte key (the
+    CLAUDE.md span-hash rule; a 64-bit collision could merge two distinct
+    paragraphs, the same accepted odds as the span-dedup family), then
+    one reassembly shuffle on doc_id whose payload (the surviving
+    paragraph text) is the deliverable. Dedup identity is the NORMALIZED
+    paragraph; the RAW paragraph is what survives — so the choice of
+    occurrence is visible, and both engines pin it with the same total
+    order (doc_id, pos). Positions come from the same split in both
+    engines (split keeps empty segments; they filter identically), so
+    the occurrence choice is engine-exact. Assumes doc_id unique (the
+    convention of every doc-level entry)."""
+    from sketchlib.textops import _rx, norm_ws_sql
+    from pyspark.sql import Window
+
+    nl_runs = _rx("spark", r"\n+")
+    paras = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(f"split(text, {nl_runs})")).alias("pos", "para"),
+        )
+        .withColumn("__norm", F.expr(norm_ws_sql("spark", "para")))
+        .where(F.col("__norm") != "")
+    )
+    w = Window.partitionBy(F.xxhash64("__norm")).orderBy("doc_id", "pos")
+    marked = paras.withColumn("keep", F.row_number().over(w) == 1)
+    return marked.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws('\\n', transform(array_sort("
+            "collect_list(CASE WHEN keep THEN struct(pos, para) END)), s -> s.para))"
+        ).alias("kept_text"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.expr("CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)").alias("n_kept"),
+    )
+
+
 def _span_hash_table(docs: DataFrame, n: int) -> DataFrame:
     """(doc_id, span_h, c): per-document occurrence counts of word
     ``n``-gram spans, keyed by ``xxhash64(span)`` — the 8-byte key is

@@ -821,6 +821,7 @@ _GATE_FRONT = [
     "pack_batches_bpe_1024",         # materialized packed training rows
     "html_extract_text",             # WET-from-WARC extraction stage
     "html_extract_links",            # outlink extraction (web-graph edges)
+    "dedup_paragraphs",              # Dolma-style paragraph-level dedup
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

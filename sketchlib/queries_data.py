@@ -260,6 +260,41 @@ def url_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_canonical(_docs(spark, sf_dir))
 
 
+def _para_dedup_oracle() -> str:
+    from sketchlib.textops import _rx, norm_ws_sql
+
+    nl = _rx("duckdb", r"\n+")
+    norm = norm_ws_sql("duckdb", "para")
+    return f"""
+WITH d AS (SELECT doc_id, string_split_regex(text, {nl}) AS a
+           FROM documents WHERE text IS NOT NULL),
+p0 AS (SELECT doc_id, i - 1 AS pos, a[i] AS para
+       FROM d, UNNEST(range(1, len(a) + 1)) AS u(i)),
+p AS (SELECT * FROM (SELECT doc_id, pos, para, {norm} AS nrm FROM p0)
+      WHERE nrm <> ''),
+k AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY nrm ORDER BY doc_id, pos) = 1 AS keep
+      FROM p)
+SELECT doc_id,
+  coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM k GROUP BY 1
+"""
+
+
+@register("dedup_paragraphs", _para_dedup_oracle())
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/C4-style corpus-wide exact paragraph dedup: keep the
+    globally-first occurrence of each normalized paragraph, reassemble
+    docs from survivors in order. 8-byte hash exchange for the
+    first-occurrence window, one doc_id reassembly shuffle. The oracle
+    replays the identical split/normalize/window/ordered-agg chain."""
+    from sketchlib.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(spark, sf_dir))
+
+
 def _html_source_sql() -> str:
     from sketchlib.htmlops import synth_html_sql
 

@@ -92,6 +92,7 @@ FUZZ_QUERIES = [
     "pack_batches_bpe_1024",
     "html_extract_text",
     "html_extract_links",
+    "dedup_paragraphs",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
