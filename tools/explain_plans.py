@@ -478,6 +478,30 @@ def main():
              lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
     )
+    from sketchlib.dedup import paragraph_dedup
+
+    show(
+        "paragraph dedup (hash-keyed first-occurrence window + one reassembly shuffle)",
+        paragraph_dedup(docs),
+        checks=[
+            # the first-occurrence window exchanges on xxhash64(norm) — the
+            # 8-byte key is a Project below the exchange; the raw paragraph
+            # is payload of exactly two shuffles (window + reassembly), and
+            # no exchange is KEYED on it
+            ("window exchange keyed on the xxhash64 projection",
+             lambda p: "xxhash64" in p
+             and not re.search(r"hashpartitioning\([^)\n]*\bpara#", p)),
+            ("exactly two exchanges (window + doc_id reassembly)",
+             lambda p: p.count("Exchange hashpartitioning") == 2),
+            ("map-side partial reassembly agg",
+             lambda p: "partial_collect_list" in p),
+            ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+            ("null-text filter pushed to scan",
+             lambda p: "PushedFilters: [IsNotNull(text)]" in p),
+        ],
+    )
     from sketchlib.textops import top_terms, with_pii_scrub
 
     show(
