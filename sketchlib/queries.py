@@ -822,6 +822,8 @@ _GATE_FRONT = [
     "html_extract_text",             # WET-from-WARC extraction stage
     "html_extract_links",            # outlink extraction (web-graph edges)
     "dedup_paragraphs",              # Dolma-style paragraph-level dedup
+    "domain_blocklist_stats",        # UT1-style domain filtering stage
+    "ccnet_ppl_buckets",             # CCNet head/middle/tail LM buckets
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

@@ -260,6 +260,35 @@ def url_dedup_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup_canonical(_docs(spark, sf_dir))
 
 
+def _domain_blocklist_oracle() -> str:
+    from sketchlib.urlops import HOST_RX, blocklist_sql, canonical_url_cte_sql
+
+    withs, last = canonical_url_cte_sql("duckdb", _url_source_sql())
+    return f"""
+{withs},
+h AS (SELECT doc_id, regexp_extract(canonical_url, '{HOST_RX}', 1) AS host
+      FROM {last}),
+b AS ({blocklist_sql('duckdb')})
+SELECT host AS domain, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM h
+WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.host IS NOT DISTINCT FROM h.host)
+GROUP BY 1
+"""
+
+
+@register("domain_blocklist_stats", _domain_blocklist_oracle())
+def domain_blocklist_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist filtering + per-domain survivor stats:
+    the blocklist is a tiny independent relation (md5-selected fixture
+    hosts), anti-joined under an explicit broadcast; the only exchange is
+    the domain groupBy. Oracle expresses the anti-join as NOT EXISTS with
+    IS NOT DISTINCT FROM (never NOT IN — the CLAUDE.md NULL trap)."""
+    from sketchlib.urlops import domain_blocklist_stats
+
+    return domain_blocklist_stats(spark, _docs(spark, sf_dir))
+
+
 def _para_dedup_oracle() -> str:
     from sketchlib.textops import _rx, norm_ws_sql
 
@@ -384,6 +413,57 @@ def lm_bigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.textops import bigram_lm_scores
 
     return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+_CCNET_ORACLE = """
+WITH toks AS (SELECT doc_id, {ta} AS a FROM documents WHERE text IS NOT NULL),
+bg AS (SELECT doc_id, unnest(CASE WHEN len(a) < 2 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1]) END) AS bigram
+       FROM toks),
+m AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM m),
+p AS (SELECT bigram, c * 1000000 // tot AS pq FROM m, t),
+s AS (SELECT doc_id,
+        CAST(CAST(sum(pq) AS BIGINT) // count(*) AS BIGINT) AS lm_avg_q
+      FROM bg JOIN p USING (bigram) GROUP BY 1),
+d AS (SELECT s.doc_id, doc.lang, s.lm_avg_q
+      FROM s JOIN documents doc USING (doc_id)),
+h AS (SELECT lang, lm_avg_q, CAST(count(*) AS BIGINT) AS c
+      FROM d GROUP BY 1, 2),
+h2 AS (SELECT lang, lm_avg_q,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY lm_avg_q DESC) - c
+              AS BIGINT) AS cb,
+         CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       FROM h),
+b AS (SELECT lang, lm_avg_q,
+        CASE WHEN cb * 3 < n THEN 'head'
+             WHEN cb * 3 < 2 * n THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+      FROM h2)
+SELECT d.doc_id, d.lang, d.lm_avg_q, b.ppl_bucket,
+       b.ppl_bucket <> 'tail' AS ccnet_keep
+FROM d JOIN b ON d.lang IS NOT DISTINCT FROM b.lang
+             AND d.lm_avg_q = b.lm_avg_q
+"""
+
+
+def _ccnet_oracle() -> str:
+    from sketchlib.textops import token_array_expr
+
+    return _CCNET_ORACLE.format(ta=token_array_expr("duckdb"))
+
+
+@register("ccnet_ppl_buckets", _ccnet_oracle())
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing per language (Wenzek
+    2019), built skew-safe: a bounded per-(lang, quantized-score)
+    histogram carries the cumulative thirds, never a per-lang row window
+    over the corpus; ties stay in one bucket (threshold semantics). The
+    lang join-back is NULL-SAFE so NULL-lang docs bucket among
+    themselves instead of silently dropping."""
+    from sketchlib.textops import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
 
 
 @register("quality_classifier_scores", _classifier_oracle())

@@ -677,6 +677,74 @@ def bigram_lm_scores(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
     )
 
 
+def ccnet_buckets(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: docs split into
+    head/middle/tail thirds by LM quality within their language, the
+    filter decision being "keep head+middle" (Wenzek 2019's curation
+    rule). Output (doc_id, lang, lm_avg_q, ppl_bucket, ccnet_keep); docs
+    with <2 tokens drop (no bigrams — same contract as the LM entry).
+
+    Scale shape — deliberately NOT a per-lang row window (one dominant
+    language would serialize the corpus through a single sorted
+    partition, the r2 skew class). Instead the CCNet shape itself:
+    (1) per-(lang, quantized-score) HISTOGRAM — bounded at langs×scale
+    rows regardless of corpus size, map-side combined; (2) cumulative
+    thirds over that tiny relation (window cost ∝ score classes, not
+    docs); (3) bucket map joined back on (lang, score) — AQE broadcasts
+    it when small, else it's a plain equi-join both sides already hash
+    on. Ties (one score class) never split across buckets — threshold
+    semantics, exactly how CCNet applies sampled perplexity cutoffs.
+    All-integer arithmetic → engine-exact; lang join is NULL-SAFE
+    (NULL-lang docs form their own bucket universe, not silently
+    dropped — the CLAUDE.md equality-filter trap)."""
+    d = (
+        bigram_lm_scores(docs, scale)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "lm_avg_q")
+    )
+    # materialize before the fan-out: d feeds BOTH the histogram and the
+    # join-back left side — without this the whole bigram-LM subtree
+    # (two bigram shuffles + a doc_id groupBy) executes twice. Eager
+    # localCheckpoint, not persist (CLAUDE.md r5 rule: persist leaks a
+    # session-lifetime CacheManager entry per call). ~20 B/doc — cheap
+    # against recomputing the scoring pass at any scale.
+    return _ccnet_assign(d.localCheckpoint(eager=True))
+
+
+def _ccnet_assign(d: DataFrame) -> DataFrame:
+    """The post-checkpoint fan-out of :func:`ccnet_buckets`, factored out
+    so plan checks can assert its shuffle shape (the `_pack_layout`
+    precedent): histogram groupBy, cumulative thirds over it, null-safe
+    join-back."""
+    from pyspark.sql import Window
+
+    hist = d.groupBy("lang", "lm_avg_q").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy("lang").orderBy(F.desc("lm_avg_q"))
+    wall = Window.partitionBy("lang")
+    buckets = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .withColumn("__n", F.sum("__c").over(wall))
+        .selectExpr(
+            "lang",
+            "lm_avg_q",
+            "CASE WHEN (__cum - __c) * 3 < __n THEN 'head' "
+            "WHEN (__cum - __c) * 3 < 2 * __n THEN 'middle' "
+            "ELSE 'tail' END AS ppl_bucket",
+        )
+    )
+    joined = d.alias("L").join(
+        buckets.alias("R"),
+        F.expr("L.lang <=> R.lang AND L.lm_avg_q = R.lm_avg_q"),
+    )
+    return joined.selectExpr(
+        "L.doc_id AS doc_id",
+        "L.lang AS lang",
+        "L.lm_avg_q AS lm_avg_q",
+        "R.ppl_bucket AS ppl_bucket",
+        "R.ppl_bucket <> 'tail' AS ccnet_keep",
+    )
+
+
 def with_classifier_score(
     docs: DataFrame, n_buckets: int = 1024, seed: int = 7, threshold: int = 0
 ) -> DataFrame:

@@ -168,6 +168,53 @@ def with_synth_url(docs: DataFrame) -> DataFrame:
     )
 
 
+def blocklist_sql(dialect: str) -> str:
+    """The deterministic domain blocklist as a one-column relation
+    ``(host)`` — ~1/4 of the fixture's 40 hosts, selected by the
+    bit-portable md5 fragment (a real pipeline ships UT1/adult-domain
+    lists the same shape: a tiny dim relation, thousands of rows against
+    billions of docs)."""
+    s = _s(dialect)
+    if dialect == "spark":
+        gen = "SELECT explode(sequence(0, 39)) AS i"
+    else:
+        gen = "SELECT unnest(range(0, 40)) AS i"
+    host = f"'h' || CAST(i AS {s}) || '.example.com'"
+    return (
+        f"SELECT {host} AS host FROM ({gen}) "
+        f"WHERE ({_md5i(dialect, f''''block:' || {host}''')}) % 4 = 0"
+    )
+
+
+HOST_RX = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+
+
+def domain_blocklist_stats(spark, docs: DataFrame) -> DataFrame:
+    """Domain-level corpus stats after blocklist filtering (the UT1-style
+    domain-removal stage every webtext pipeline runs before content
+    passes): docs whose canonical host is on the blocklist are removed;
+    survivors aggregate to (domain, n_docs, keeper_doc_id).
+
+    Scale shape: host extraction is part of the zero-shuffle canonical
+    projection; the blocklist is a tiny independent relation joined
+    LEFT ANTI under an explicit broadcast (thousands of rows vs billions
+    of docs — never a shuffle side); the only exchange is the final
+    domain groupBy with map-side partial min/count. The anti-join is on
+    the HOST, not the full url — the natural blocklist key."""
+    block = spark.sql(blocklist_sql("spark"))
+    hosts = with_canonical_url(with_synth_url(docs)).select(
+        "doc_id", F.regexp_extract("canonical_url", HOST_RX, 1).alias("host")
+    )
+    return (
+        hosts.join(F.broadcast(block), "host", "left_anti")
+        .groupBy(F.col("host").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
 def url_dedup_canonical(docs: DataFrame) -> DataFrame:
     """Canonical-URL dedup: (canonical_url, keeper_doc_id, n_dups) — the
     keeper is the smallest doc_id in the group (deterministic, the usual

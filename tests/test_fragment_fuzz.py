@@ -93,6 +93,8 @@ FUZZ_QUERIES = [
     "html_extract_text",
     "html_extract_links",
     "dedup_paragraphs",
+    "domain_blocklist_stats",
+    "ccnet_ppl_buckets",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

@@ -502,6 +502,46 @@ def main():
              lambda p: "PushedFilters: [IsNotNull(text)]" in p),
         ],
     )
+    from sketchlib.urlops import domain_blocklist_stats
+
+    show(
+        "domain blocklist filter (broadcast anti-join + one domain groupBy)",
+        domain_blocklist_stats(spark, docs),
+        checks=[
+            # the explicit broadcast hint must survive auto-broadcast
+            # being disabled — the blocklist is a dim relation by design
+            ("blocklist anti-join is broadcast, build right",
+             lambda p: "BroadcastHashJoin" in p and "LeftAnti, BuildRight" in p),
+            ("exactly one shuffle (the domain groupBy)",
+             lambda p: p.count("Exchange hashpartitioning") == 1),
+            ("map-side partial min/count",
+             lambda p: "partial_count" in p and "partial_min" in p),
+            ("scan prunes to doc_id only",
+             lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+        ],
+    )
+    from sketchlib.textops import _ccnet_assign
+
+    show(
+        # the real entry eagerly localCheckpoints the scored-docs relation
+        # before this fan-out (it feeds both sides); the shuffle shape is
+        # asserted on the factored-out builder over a stand-in relation
+        "ccnet bucket assignment (bounded histogram, shared lang window exchange)",
+        _ccnet_assign(
+            docs.select("doc_id", "lang", (F.col("n_chars") % 100).alias("lm_avg_q"))
+        ),
+        checks=[
+            ("two window ops share one lang exchange",
+             lambda p: p.count("Window [sum") == 2
+             and len(re.findall(r"Exchange hashpartitioning\(lang#\d+, \d+\)", p)) == 1),
+            ("histogram has map-side partial count", lambda p: "partial_count" in p),
+            ("join-back is null-safe on lang (coalesce+isnull key)",
+             lambda p: "coalesce(lang#" in p and "isnull(lang#" in p),
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
+            ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
+        ],
+    )
     from sketchlib.textops import top_terms, with_pii_scrub
 
     show(
