@@ -380,3 +380,30 @@ def test_benchmark_span_overlap_hot_span_skew(spark):
             for r in benchmark_span_overlap(train, bench, n=4, via_filter=via).collect()
         }
         assert got == {i: 1 for i in range(200)}, (via, len(got))
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    """Global first-occurrence (doc_id, pos) keeps doc 1's paragraphs
+    whole, strips the repeats from doc 2, preserves order on survivors,
+    dedups on the WS-NORMALIZED identity while keeping the RAW first
+    occurrence, retains all-duplicate docs with empty kept_text, and
+    drops NULL-text docs."""
+    from sketchlib.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha\nbeta\n\ngamma"),
+        (2, "beta\ndelta\nalpha"),          # beta+alpha are repeats
+        (3, "  alpha  \n epsilon"),         # norm-dup of alpha; raw kept_text check
+        (4, "alpha\nbeta"),                 # every paragraph a duplicate
+        (5, None),                          # dropped
+        (6, "\n\n\n"),                      # zero non-empty paragraphs: absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["kept_text"], r["n_paras"], r["n_kept"])
+           for r in paragraph_dedup(df).collect()}
+    assert got == {
+        1: ("alpha\nbeta\ngamma", 3, 3),
+        2: ("delta", 3, 1),
+        3: (" epsilon", 2, 1),
+        4: ("", 2, 0),
+    }

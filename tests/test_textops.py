@@ -360,3 +360,57 @@ def test_classifier_score_cross_engine_exact(spark):
     assert oracle == {k: v[0] for k, v in out.items()}
     for k, (s, keep) in out.items():
         assert keep == (s >= 0)
+
+
+def test_ccnet_bucket_assignment_hand_computed(spark):
+    """Cutoff-threshold thirds over a hand-built (doc_id, lang, score)
+    relation: 9 'en' docs scored 1..9 split exactly head={9,8,7},
+    middle={6,5,4}, tail={3,2,1}; a tied score class spanning a boundary
+    goes whole to ONE bucket (cum_before rule); NULL lang buckets among
+    itself, never dropped."""
+    from sketchlib.textops import _ccnet_assign
+
+    rows = [(i, "en", i) for i in range(1, 10)]
+    # 'fr': scores [5, 5, 5, 1] — the 5-class straddles the 1/3 boundary;
+    # cum_before(5)=0 < 4/3 -> ALL three 5s are head, 1 is tail
+    # (cum_before(1)=3, 3*3=9 >= 2*4)
+    rows += [(10, "fr", 5), (11, "fr", 5), (12, "fr", 5), (13, "fr", 1)]
+    rows += [(20, None, 2), (21, None, 1)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, lm_avg_q long")
+    got = {r["doc_id"]: (r["ppl_bucket"], r["ccnet_keep"])
+           for r in _ccnet_assign(d).collect()}
+    want = {}
+    for i in range(1, 10):
+        b = "head" if i >= 7 else ("middle" if i >= 4 else "tail")
+        want[i] = (b, b != "tail")
+    want.update({10: ("head", True), 11: ("head", True), 12: ("head", True),
+                 13: ("tail", False)})
+    # NULL lang: 2 docs -> cum_before(2)=0 head; cum_before(1)=1, 3 >= 1*... 
+    # 1*3=3 >= n=2 and 3 < 2*2 -> middle
+    want.update({20: ("head", True), 21: ("middle", True)})
+    assert got == want
+
+
+def test_ccnet_buckets_end_to_end_partitions_the_scored_docs(spark):
+    """ccnet_buckets = bigram_lm_scores + assignment: every scored doc
+    appears exactly once, buckets are a partition per (lang), and the
+    head third never scores below the tail third within a lang."""
+    from sketchlib.textops import bigram_lm_scores, ccnet_buckets
+
+    rows = [(i, "good text with shared bigrams " * 3, "en") for i in range(6)]
+    rows += [(i, f"rare w{i} v{i} u{i} t{i}", "en") for i in range(6, 12)]
+    rows += [(i, "autre texte partagé ici " * 2, "fr") for i in range(12, 16)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ccnet_buckets(df).collect()
+    scored = {r["doc_id"] for r in bigram_lm_scores(df).collect()}
+    assert {r["doc_id"] for r in out} == scored and len(out) == len(scored)
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        heads = [r["lm_avg_q"] for r in rs if r["ppl_bucket"] == "head"]
+        tails = [r["lm_avg_q"] for r in rs if r["ppl_bucket"] == "tail"]
+        if heads and tails:
+            assert min(heads) > max(tails), lang
+        for r in rs:
+            assert r["ccnet_keep"] == (r["ppl_bucket"] != "tail")

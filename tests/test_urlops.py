@@ -106,3 +106,39 @@ def test_dedup_keeper_contract(spark):
     assert got == want
     # base%200 over 600 ids must actually produce multi-doc groups
     assert max(n for _, n in want.values()) >= 2
+
+
+def test_domain_blocklist_filter_contract(spark):
+    """Blocked hosts are absent, survivors carry exact count + min-doc_id
+    keeper, and the blocklist itself is deterministic across engines."""
+    import duckdb
+
+    from sketchlib.urlops import (
+        HOST_RX,
+        blocklist_sql,
+        domain_blocklist_stats,
+        with_canonical_url,
+        with_synth_url,
+    )
+
+    spark_block = {r["host"] for r in spark.sql(blocklist_sql("spark")).collect()}
+    duck_block = {h for (h,) in duckdb.sql(blocklist_sql("duckdb")).fetchall()}
+    assert spark_block == duck_block and 0 < len(spark_block) < 40
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    import re as _re
+
+    hosts = {
+        r["doc_id"]: _re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)",
+                               r["canonical_url"]).group(1)
+        for r in with_canonical_url(with_synth_url(df)).collect()
+    }
+    want = {}
+    for d, h in hosts.items():
+        if h not in spark_block:
+            n, m = want.get(h, (0, d))
+            want[h] = (n + 1, min(m, d))
+    got = {r["domain"]: (r["n_docs"], r["keeper_doc_id"])
+           for r in domain_blocklist_stats(spark, df).collect()}
+    assert got == want
+    assert not (set(got) & spark_block)
