@@ -452,6 +452,26 @@ def main():
         lambda: url_dedup_canonical(docs).agg(F.sum("n_dups")).collect(),
     )
 
+    # late-r6 additions: paragraph dedup (explode + hash window + ordered
+    # reassembly), ccnet bucketing (LM fit + bounded histogram + join-back),
+    # domain blocklist (broadcast anti-join + domain agg)
+    from sketchlib.dedup import paragraph_dedup
+    from sketchlib.textops import ccnet_buckets
+    from sketchlib.urlops import domain_blocklist_stats
+
+    timed(
+        "dedup_paragraphs",
+        lambda: paragraph_dedup(docs).agg(F.sum("n_kept")).collect(),
+    )
+    timed(
+        "ccnet_ppl_buckets",
+        lambda: ccnet_buckets(docs).filter(F.col("ccnet_keep")).count(),
+    )
+    timed(
+        "domain_blocklist_stats",
+        lambda: domain_blocklist_stats(spark, docs).agg(F.sum("n_docs")).collect(),
+    )
+
     from sketchlib.dedup import benchmark_span_overlap
     from sketchlib.relops import priority_sample, sample_by_hash
 
