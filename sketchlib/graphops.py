@@ -1,0 +1,131 @@
+"""Web-graph operators for Common-Crawl-style curation: the host-level
+link graph and a deterministic fixed-point PageRank over it — the
+centrality signal crawl pipelines rank domains by (Common Crawl publishes
+exactly this as its host-level ranking; curation uses it as a quality /
+crawl-priority prior alongside content scores).
+
+Graph fixture: each synthetic page (htmlops) carries ONE absolute outlink
+``https://h{md5('html-base:'||doc_id)%40}.example.com/home``; the page's
+own host comes from the urlops canonical-url fixture. Both ends are
+md5-derived BIGINT arithmetic — bit-identical in Spark and DuckDB — so
+the 40-node host multigraph is engine-exact without external data.
+
+PageRank variant (stated precisely so the oracle replays it):
+  - edge weights = number of pages on src host linking to dst host;
+  - rank quantized to BIGINT at scale 1e6, damping 85/100 in integer
+    arithmetic: ``r'(v) = 150000 + (85 * S(v)) div 100`` with
+    ``S(v) = Σ_u  r(u) * w(u,v) div out(u)`` (per-edge floor division —
+    deterministic, all operands non-negative so Spark ``div`` ≡ DuckDB
+    ``//``);
+  - fixed K iterations (no convergence test — the plan is static);
+  - dangling mass is NOT redistributed (the common simplification; a
+    host with no outlinks keeps contributing nothing).
+
+Scale shape: ALL corpus-sized work is the one edge aggregation —
+groupBy (src, dst) with map-side partial counts, so the exchange carries
+~distinct host pairs per map partition, never pages. The K iterations
+run on the HOST graph (orders of magnitude smaller than the corpus):
+each is an equi-join ranks⋈edges on src + a dst groupBy. Ranks and
+edges are eagerly localCheckpointed (CLAUDE.md: checkpoint, not persist)
+— edges because K iterations fan out over it, ranks per iteration so
+the lineage stays flat instead of nesting K join plans. No broadcast is
+forced: on a 40-host fixture AQE broadcasts the rank side; on a 10^9-host
+real graph both sides hash-partition on src and the same plan holds.
+
+Reference scope note: the reference engine (kristoff-it/redis-cuckoofilter)
+has no graph surface; this extends the mandated webtext-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchlib.urlops import _md5i, _s
+
+#: fixed-point scale for quantized ranks (1.0 == 1_000_000).
+RANK_SCALE = 1_000_000
+#: damping numerator/denominator (0.85) in integer arithmetic.
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def host_edges_sql(dialect: str) -> str:
+    """``(src, dst)`` one row per page, both hosts md5-derived from
+    doc_id (src = the urlops url-base host, dst = the htmlops outlink
+    host). NULL doc_ids drop — same contract as the url fixture."""
+    s = _s(dialect)
+    src = _md5i(dialect, f"'url-base:' || CAST(doc_id AS {s})") + " % 200"
+    dst = _md5i(dialect, f"'html-base:' || CAST(doc_id AS {s})") + " % 40"
+    return (
+        f"SELECT 'h' || CAST(({src}) % 40 AS {s}) || '.example.com' AS src, "
+        f"'h' || CAST(({dst}) AS {s}) || '.example.com' AS dst "
+        f"FROM documents WHERE doc_id IS NOT NULL"
+    )
+
+
+def host_graph(docs: DataFrame) -> DataFrame:
+    """Weighted host edge list ``(src, dst, w)``: ONE corpus-sized
+    aggregation, map-side combined — the exchange carries ~distinct host
+    pairs per map partition."""
+    s = _s("spark")
+    src = _md5i("spark", f"'url-base:' || CAST(doc_id AS {s})") + " % 200"
+    dst = _md5i("spark", f"'html-base:' || CAST(doc_id AS {s})") + " % 40"
+    return (
+        docs.where(F.col("doc_id").isNotNull())
+        .selectExpr(
+            f"'h' || CAST(({src}) % 40 AS STRING) || '.example.com' AS src",
+            f"'h' || CAST(({dst}) AS STRING) || '.example.com' AS dst",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def host_pagerank(docs: DataFrame, iterations: int = 3) -> DataFrame:
+    """(host, pagerank_q, out_weight): quantized PageRank after a fixed
+    number of iterations over the host graph (module docstring states the
+    exact recurrence). Engine-exact — the oracle replays the identical
+    integer arithmetic as chained CTEs."""
+    return pagerank(host_graph(docs), iterations)
+
+
+def pagerank(edge_df: DataFrame, iterations: int = 3) -> DataFrame:
+    """The iteration core over any weighted edge list ``(src, dst, w)``
+    (hosts here, but nothing host-specific): see module docstring for the
+    exact quantized recurrence."""
+    edges = edge_df.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .join(deg.withColumnRenamed("src", "host"), "host", "left")
+        .selectExpr("host", "CAST(coalesce(ow, 0) AS BIGINT) AS out_weight")
+        .localCheckpoint(eager=True)
+    )
+    # edges carrying the src out-weight once, so iterations never re-join deg
+    ew = (
+        edges.join(deg, "src")
+        .selectExpr("src", "dst", "CAST(w AS BIGINT) AS w", "CAST(ow AS BIGINT) AS ow")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.selectExpr("host", f"CAST({RANK_SCALE} AS BIGINT) AS r")
+    for _ in range(iterations):
+        contrib = (
+            ew.join(ranks.withColumnRenamed("host", "src"), "src")
+            .selectExpr("dst", "r * w div ow AS c")
+            .groupBy("dst")
+            .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
+            .selectExpr(
+                "host",
+                f"CAST({DAMP_DEN - DAMP_NUM} * {RANK_SCALE // DAMP_DEN} "
+                f"+ ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN} AS BIGINT) AS r",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes.join(ranks, "host").selectExpr(
+        "host", "r AS pagerank_q", "out_weight"
+    )

@@ -824,6 +824,7 @@ _GATE_FRONT = [
     "dedup_paragraphs",              # Dolma-style paragraph-level dedup
     "domain_blocklist_stats",        # UT1-style domain filtering stage
     "ccnet_ppl_buckets",             # CCNet head/middle/tail LM buckets
+    "web_host_pagerank",             # host-graph centrality (CC ranking)
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

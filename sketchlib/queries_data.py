@@ -289,6 +289,52 @@ def domain_blocklist_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist_stats(spark, _docs(spark, sf_dir))
 
 
+def _pagerank_oracle(iterations: int = 3) -> str:
+    from sketchlib.graphops import DAMP_DEN, DAMP_NUM, RANK_SCALE, host_edges_sql
+
+    base = DAMP_DEN - DAMP_NUM
+    ctes = [
+        f"e0 AS ({host_edges_sql('duckdb')})",
+        "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1, 2)",
+        "deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1)",
+        "nodes AS (SELECT n.host, CAST(coalesce(d.ow, 0) AS BIGINT) AS out_weight"
+        " FROM (SELECT src AS host FROM e UNION SELECT dst FROM e) n"
+        " LEFT JOIN deg d ON d.src = n.host)",
+        "ew AS (SELECT e.src, e.dst, e.w, d.ow FROM e JOIN deg d USING (src))",
+        f"r0 AS (SELECT host, CAST({RANK_SCALE} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT ew.dst,"
+            f" CAST(sum(r{i - 1}.r * ew.w // ew.ow) AS BIGINT) AS s"
+            f" FROM ew JOIN r{i - 1} ON r{i - 1}.host = ew.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.host,"
+            f" CAST({base * (RANK_SCALE // DAMP_DEN)}"
+            f" + ({DAMP_NUM} * coalesce(c{i}.s, 0)) // {DAMP_DEN} AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.host)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT n.host, r{iterations}.r AS pagerank_q, n.out_weight"
+        f" FROM nodes n JOIN r{iterations} USING (host)"
+    )
+
+
+@register("web_host_pagerank", _pagerank_oracle())
+def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph PageRank (Common Crawl's host-level centrality ranking,
+    the crawl-priority / quality prior): quantized BIGINT fixed-point
+    recurrence, 3 static iterations, dangling mass not redistributed —
+    engine-exact by construction. Corpus-sized work is ONE (src, dst)
+    aggregation; the iterations run on the host graph. Oracle replays
+    the identical integer recurrence as chained CTEs."""
+    from sketchlib.graphops import host_pagerank
+
+    return host_pagerank(_docs(spark, sf_dir))
+
+
 def _para_dedup_oracle() -> str:
     from sketchlib.textops import _rx, norm_ws_sql
 

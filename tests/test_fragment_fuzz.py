@@ -95,6 +95,7 @@ FUZZ_QUERIES = [
     "dedup_paragraphs",
     "domain_blocklist_stats",
     "ccnet_ppl_buckets",
+    "web_host_pagerank",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

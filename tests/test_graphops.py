@@ -1,0 +1,65 @@
+"""Host-graph PageRank: hand-computed recurrence on a tiny graph,
+partitioning invariance, and fixture determinism across engines."""
+
+import duckdb
+
+
+def _hand_pagerank(edges, iterations=3, scale=1_000_000):
+    """Pure-Python replay of the documented recurrence."""
+    ow = {}
+    for s, d, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    r = {n: scale for n in nodes}
+    for _ in range(iterations):
+        s_in = {n: 0 for n in nodes}
+        for s, d, w in edges:
+            s_in[d] += r[s] * w // ow[s]
+        r = {n: 150000 + (85 * s_in[n]) // 100 for n in nodes}
+    return r, {n: ow.get(n, 0) for n in nodes}
+
+
+def test_pagerank_hand_computed_tiny_graph(spark):
+    """3-node graph with a dangling node (c has no outlinks) and a
+    weighted 2-edge fan: Spark matches the pure-Python recurrence
+    exactly at every value."""
+    from sketchlib.graphops import pagerank
+
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["host"]: (r["pagerank_q"], r["out_weight"])
+           for r in pagerank(df, iterations=3).collect()}
+    want_r, want_ow = _hand_pagerank(edges)
+    assert got == {n: (want_r[n], want_ow[n]) for n in want_r}
+    # dangling node keeps receiving but contributes nothing
+    assert got["c"][1] == 0 and got["c"][0] > 150000
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Same graph through 1 and 13 shuffle partitions → identical ranks
+    (integer arithmetic has no summation-order sensitivity)."""
+    from sketchlib.graphops import pagerank
+
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 11}", 1 + i % 4) for i in range(40)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long") \
+        .groupBy("src", "dst").agg({"w": "sum"}).withColumnRenamed("sum(w)", "w")
+    a = {r["host"]: r["pagerank_q"] for r in pagerank(df.repartition(1), 2).collect()}
+    b = {r["host"]: r["pagerank_q"] for r in pagerank(df.repartition(13), 2).collect()}
+    assert a == b and len(a) == 40
+
+
+def test_host_edges_fixture_cross_engine(spark):
+    """The md5-derived (src, dst) page edges are bit-identical across
+    engines for negative / huge / NULL doc_ids."""
+    from sketchlib.graphops import host_edges_sql
+
+    ids = [-9, -1, 0, 1, 5, 2**40, None]
+    df = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    got = sorted(map(tuple, spark.sql(host_edges_sql("spark")).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", [(i, "t") for i in ids])
+    want = sorted(con.sql(host_edges_sql("duckdb")).fetchall())
+    assert got == want and len(got) == len(ids) - 1
+    spark.catalog.dropTempView("documents")

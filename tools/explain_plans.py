@@ -542,6 +542,33 @@ def main():
             ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
         ],
     )
+    from sketchlib.graphops import host_graph, host_pagerank
+
+    show(
+        "host graph build (the ONLY corpus-sized pagerank stage)",
+        host_graph(docs),
+        checks=[
+            ("map-side partial count (exchange carries host pairs, not pages)",
+             lambda p: "partial_count" in p),
+            ("one exchange keyed on (src, dst)",
+             lambda p: p.count("Exchange hashpartitioning") == 1
+             and re.search(r"hashpartitioning\(src#\d+, dst#\d+", p) is not None),
+            ("scan prunes to doc_id only",
+             lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+        ],
+    )
+    show(
+        # the iterations run over eagerly-checkpointed HOST relations —
+        # the corpus parquet must be absent from the visible plan
+        "pagerank iterations (host-graph joins only, corpus never re-read)",
+        host_pagerank(docs, iterations=2),
+        checks=[
+            ("no corpus scan inside the iteration plan",
+             lambda p: "FileScan parquet" not in p),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+        ],
+    )
     from sketchlib.textops import top_terms, with_pii_scrub
 
     show(
