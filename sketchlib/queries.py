@@ -825,6 +825,7 @@ _GATE_FRONT = [
     "domain_blocklist_stats",        # UT1-style domain filtering stage
     "ccnet_ppl_buckets",             # CCNet head/middle/tail LM buckets
     "web_host_pagerank",             # host-graph centrality (CC ranking)
+    "train_val_split",               # leakage-safe split (dedup-keyed)
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

@@ -289,6 +289,29 @@ def domain_blocklist_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist_stats(spark, _docs(spark, sf_dir))
 
 
+def _split_oracle(val_pct: int = 5) -> str:
+    from sketchlib.textops import fingerprint_sql
+    from sketchlib.urlops import _md5i
+
+    bucket = _md5i("duckdb", f"'split:' || {fingerprint_sql('duckdb')}") + " % 100"
+    return (
+        f"SELECT doc_id, CASE WHEN ({bucket}) < {val_pct} THEN 'val' "
+        f"ELSE 'train' END AS split, CAST(({bucket}) AS BIGINT) AS split_bucket "
+        "FROM documents WHERE text IS NOT NULL"
+    )
+
+
+@register("train_val_split", _split_oracle())
+def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the bucket is keyed on the
+    exact-dedup fingerprint, so duplicates can never straddle the split
+    (the GPT-3 contamination class). Zero-shuffle codegen projection —
+    the guarantee is determinism, not grouping."""
+    from sketchlib.relops import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir))
+
+
 def _pagerank_oracle(iterations: int = 3) -> str:
     from sketchlib.graphops import DAMP_DEN, DAMP_NUM, RANK_SCALE, host_edges_sql
 

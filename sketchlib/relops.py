@@ -561,3 +561,33 @@ def priority_sample_stratified(
         Window.partitionBy(stratum_col).orderBy(F.desc("priority"), F.col("__k"))
     )
     return survivors.withColumn("__rn", rn).filter(F.col("__rn") <= k).drop("__rn", "__k")
+
+
+def train_val_split(docs: DataFrame, val_pct: int = 5) -> DataFrame:
+    """(doc_id, split, split_bucket): leakage-safe deterministic
+    train/validation assignment. The split key is the EXACT-DEDUP
+    IDENTITY (md5 of whitespace-normalized lowered text — the same
+    fingerprint the exact-dedup stage groups on), NOT the doc id: every
+    surviving duplicate of a document lands in the same split by
+    construction, so the train/test-contamination class GPT-3's split
+    famously hit (duplicated docs straddling the split) cannot occur
+    across exact duplicates. ``split_bucket`` = bit-portable
+    md5('split:'||fingerprint) % 100; bucket < val_pct → 'val'.
+
+    Scale shape: a ZERO-SHUFFLE whole-stage-codegen projection — the
+    leakage guarantee comes from determinism (same text → same bucket),
+    not from grouping, so no exchange is needed at any corpus size.
+    NULL-text docs have no identity and drop (the text-operator
+    contract). Near-duplicate-safe splitting additionally routes via
+    near_dup_clusters' cluster id as the key — same projection shape
+    over the cluster table."""
+    from sketchlib.textops import fingerprint_sql
+    from sketchlib.urlops import _md5i
+
+    fp = fingerprint_sql("spark")
+    bucket = _md5i("spark", f"'split:' || {fp}") + " % 100"
+    return docs.where(F.col("text").isNotNull()).selectExpr(
+        "doc_id",
+        f"CASE WHEN ({bucket}) < {int(val_pct)} THEN 'val' ELSE 'train' END AS split",
+        f"CAST(({bucket}) AS BIGINT) AS split_bucket",
+    )

@@ -96,6 +96,7 @@ FUZZ_QUERIES = [
     "domain_blocklist_stats",
     "ccnet_ppl_buckets",
     "web_host_pagerank",
+    "train_val_split",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

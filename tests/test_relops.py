@@ -580,3 +580,26 @@ def test_priority_sample_stratified_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a", 1.0)], "id long, grp string, w double")
     with pytest.raises(ValueError):
         priority_sample_stratified(df, "w", 0, "CAST(id AS STRING)", "grp")
+
+
+def test_train_val_split_leakage_safe(spark):
+    """Exact duplicates (incl. whitespace/case variants) always land in
+    the same split; NULL text drops; both splits are populated at a
+    plausible rate on a 400-doc corpus."""
+    from sketchlib.relops import train_val_split
+
+    rows = []
+    for i in range(400):
+        rows.append((3 * i, f"document body number {i}"))
+        rows.append((3 * i + 1, f"  Document   BODY number {i} "))  # norm-dup
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["split"], r["split_bucket"])
+           for r in train_val_split(df, val_pct=10).collect()}
+    assert 9999 not in out and len(out) == 800
+    for i in range(400):
+        assert out[3 * i] == out[3 * i + 1], i
+    n_val = sum(1 for s, _ in out.values() if s == "val")
+    assert 20 <= n_val <= 140  # ~10% of 800, wide tolerance
+    for s, b in out.values():
+        assert (b < 10) == (s == "val") and 0 <= b < 100
