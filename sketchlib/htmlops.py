@@ -137,6 +137,39 @@ def html_to_text_stages(dialect: str, col: str = "html") -> list[dict[str, str]]
 
 _HTML_INTERMEDIATES = ("__noblocks", "__notags", "__decoded")
 
+#: horizontal whitespace only — the structure-preserving normalizer keeps
+#: newlines (block boundaries) intact.
+_HORIZ_WS_RX = r"[ \t\r]+"
+
+
+def html_to_blocks_stages(dialect: str, col: str = "html") -> list[dict[str, str]]:
+    """Stages 1-3 of :func:`html_to_text_stages` plus a
+    STRUCTURE-PRESERVING stage 4: horizontal whitespace collapses to one
+    space but the newlines stage 2 inserted at block tags survive — the
+    real WET line shape, so downstream paragraph operators (split on
+    newline runs) see the page's block structure. Residual exotic
+    whitespace (vtab/formfeed) inside a block is left for the paragraph
+    normalizer's ``\\s+`` — both engines agree either way."""
+    st = html_to_text_stages(dialect, col)[:3]
+    g = _replace_all_flag(dialect)
+    st.append(
+        {
+            "block_text": (
+                f"trim(regexp_replace(__decoded, {_rx(dialect, _HORIZ_WS_RX)}, ' '{g}))"
+            )
+        }
+    )
+    return st
+
+
+def with_extracted_blocks(pages: DataFrame, col: str = "html") -> DataFrame:
+    """(…pages…, block_text) — zero-shuffle codegen projection, newline
+    structure preserved."""
+    out = pages
+    for stage in html_to_blocks_stages("spark", col):
+        out = out.withColumns({k: F.expr(v) for k, v in stage.items()})
+    return out.drop(*_HTML_INTERMEDIATES)
+
 
 def with_synth_html(docs: DataFrame) -> DataFrame:
     """(doc_id, html) — the deterministic fixture rows (NULL ids/text
@@ -180,11 +213,14 @@ def html_extract_links(docs: DataFrame) -> DataFrame:
     )
 
 
-def html_cte_sql(dialect: str, source_sql: str) -> tuple[str, str]:
-    """``WITH``-chain mirror of :func:`with_extracted_text` for oracles:
+def html_cte_sql(
+    dialect: str, source_sql: str, blocks: bool = False
+) -> tuple[str, str]:
+    """``WITH``-chain mirror of :func:`with_extracted_text` (or, with
+    ``blocks=True``, :func:`with_extracted_blocks`) for oracles:
     ``source_sql`` must yield (doc_id, html). Returns (WITH-prefix,
     final-CTE name)."""
-    stages = html_to_text_stages(dialect)
+    stages = (html_to_blocks_stages if blocks else html_to_text_stages)(dialect)
     ctes, prev = [f"h0 AS ({source_sql})"], "h0"
     for i, stage in enumerate(stages, start=1):
         cols = ", ".join(f"{v} AS {k}" for k, v in stage.items())

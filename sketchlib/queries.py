@@ -826,6 +826,7 @@ _GATE_FRONT = [
     "ccnet_ppl_buckets",             # CCNet head/middle/tail LM buckets
     "web_host_pagerank",             # host-graph centrality (CC ranking)
     "train_val_split",               # leakage-safe split (dedup-keyed)
+    "web_curation_pipeline_e2e",     # five webtext stages composed
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

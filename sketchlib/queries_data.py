@@ -358,27 +358,34 @@ def web_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_pagerank(_docs(spark, sf_dir))
 
 
-def _para_dedup_oracle() -> str:
+def _para_dedup_ctes(src: str, text_out: str = "kept_text") -> tuple[str, str]:
+    """(CTE fragments, final SELECT) for the paragraph-dedup chain over
+    ``src`` (any relation yielding doc_id, text) — shared by the
+    standalone entry and the composed web pipeline oracle."""
     from sketchlib.textops import _rx, norm_ws_sql
 
     nl = _rx("duckdb", r"\n+")
     norm = norm_ws_sql("duckdb", "para")
-    return f"""
-WITH d AS (SELECT doc_id, string_split_regex(text, {nl}) AS a
-           FROM documents WHERE text IS NOT NULL),
-p0 AS (SELECT doc_id, i - 1 AS pos, a[i] AS para
-       FROM d, UNNEST(range(1, len(a) + 1)) AS u(i)),
-p AS (SELECT * FROM (SELECT doc_id, pos, para, {norm} AS nrm FROM p0)
+    ctes = f"""pd_d AS (SELECT doc_id, string_split_regex(text, {nl}) AS a
+           FROM {src} WHERE text IS NOT NULL),
+pd_p0 AS (SELECT doc_id, i - 1 AS pos, a[i] AS para
+       FROM pd_d, UNNEST(range(1, len(a) + 1)) AS u(i)),
+pd_p AS (SELECT * FROM (SELECT doc_id, pos, para, {norm} AS nrm FROM pd_p0)
       WHERE nrm <> ''),
-k AS (SELECT doc_id, pos, para,
+pd_k AS (SELECT doc_id, pos, para,
              row_number() OVER (PARTITION BY nrm ORDER BY doc_id, pos) = 1 AS keep
-      FROM p)
-SELECT doc_id,
-  coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
+      FROM pd_p)"""
+    select = f"""SELECT doc_id,
+  coalesce(string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS {text_out},
   CAST(count(*) AS BIGINT) AS n_paras,
   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-FROM k GROUP BY 1
-"""
+FROM pd_k GROUP BY 1"""
+    return ctes, select
+
+
+def _para_dedup_oracle() -> str:
+    ctes, select = _para_dedup_ctes("documents")
+    return f"WITH {ctes}\n{select}"
 
 
 @register("dedup_paragraphs", _para_dedup_oracle())
@@ -391,6 +398,54 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.dedup import paragraph_dedup
 
     return paragraph_dedup(_docs(spark, sf_dir))
+
+
+def _webpipe_oracle() -> str:
+    from sketchlib.htmlops import html_cte_sql, synth_html_sql
+    from sketchlib.textops import classifier_score_sql
+    from sketchlib.urlops import HOST_RX, blocklist_sql, canonical_url_cte_sql
+
+    url_withs, url_last = canonical_url_cte_sql("duckdb", _url_source_sql())
+    url_ctes = url_withs[len("WITH ") :]
+    html_withs, html_last = html_cte_sql(
+        "duckdb",
+        f"SELECT d.doc_id, {synth_html_sql('duckdb')} AS html "
+        "FROM documents d JOIN wp_surv USING (doc_id) "
+        "WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL",
+        blocks=True,
+    )
+    html_ctes = html_withs[len("WITH ") :]
+    para_ctes, para_select = _para_dedup_ctes("wp_scored", text_out="final_text")
+    return f"""
+WITH {url_ctes},
+wp_keep AS (SELECT min(doc_id) AS doc_id FROM {url_last} GROUP BY canonical_url),
+wp_hosts AS (SELECT u.doc_id,
+               regexp_extract(u.canonical_url, '{HOST_RX}', 1) AS host
+             FROM {url_last} u JOIN wp_keep k ON k.doc_id = u.doc_id),
+wp_bl AS ({blocklist_sql('duckdb')}),
+wp_surv AS (SELECT doc_id FROM wp_hosts h
+            WHERE NOT EXISTS (SELECT 1 FROM wp_bl
+                              WHERE wp_bl.host IS NOT DISTINCT FROM h.host)),
+{html_ctes},
+wp_text AS (SELECT doc_id, block_text AS text FROM {html_last}),
+wp_scored AS (SELECT doc_id, text FROM wp_text
+              WHERE ({classifier_score_sql('duckdb')}) >= 0),
+{para_ctes}
+{para_select}
+"""
+
+
+@register("web_curation_pipeline_e2e", _webpipe_oracle())
+def web_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five webtext stages composed end-to-end (url keep-first →
+    blocklist → HTML block extraction → classifier gate → corpus-wide
+    paragraph dedup) — exercises the stage INTERACTIONS: the extractor's
+    shared nav/footer boilerplate lines are exactly what the paragraph
+    stage must strip corpus-wide. The oracle is ONE composed CTE chain
+    re-deriving every stage (curation_pipeline_e2e precedent)."""
+    from sketchlib.webpipe import web_curation_pipeline
+
+    return web_curation_pipeline(spark, _docs(spark, sf_dir))
 
 
 def _html_source_sql() -> str:

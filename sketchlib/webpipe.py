@@ -1,0 +1,69 @@
+"""The composed webtext curation pipeline — every per-stage operator in
+this repo chained the way a production crawl-to-training-data run chains
+them (CCNet/C4/RefinedWeb shape):
+
+  1. canonical-URL keep-first dedup   (urlops — CC stage one)
+  2. domain blocklist anti-join       (urlops — UT1 stage)
+  3. HTML → block text extraction     (htmlops — WET stage, newline
+                                       structure preserved)
+  4. quality classifier gate          (textops — fastText-shape keep)
+  5. corpus-wide paragraph dedup      (dedup — Dolma/C4 stage)
+
+One callable so a user (and the driver gate) exercises the stage
+INTERACTIONS — e.g. the shared nav/footer boilerplate the extractor
+emits is exactly what the paragraph dedup must strip corpus-wide — not
+just each stage in isolation.
+
+Scale shape: stages 1-2 operate on id/url projections only (the corpus
+text is untouched); the single corpus-sized text shuffle added by
+composition is the keep-ids semi-join (8-byte keys on both exchanges, the
+text moves once), after which extraction + classification are zero-shuffle
+projections fused over the surviving partitions, and the paragraph stage
+contributes its own documented two exchanges. No stage collects, no stage
+broadcasts anything that grows with the corpus (the blocklist dim is the
+only broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sketchlib.dedup import paragraph_dedup
+from sketchlib.htmlops import with_extracted_blocks, with_synth_html
+from sketchlib.textops import with_classifier_score
+from sketchlib.urlops import (
+    HOST_RX,
+    blocklist_sql,
+    with_canonical_url,
+    with_synth_url,
+)
+
+
+def web_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, final_text, n_paras, n_kept) for every document that
+    survives url-dedup + blocklist + quality gate and has ≥1 non-empty
+    extracted paragraph (an all-duplicate doc survives with empty
+    final_text — the paragraph contract)."""
+    u = with_canonical_url(with_synth_url(docs)).select("doc_id", "canonical_url")
+    keepers = (
+        u.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    hosts = u.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", F.regexp_extract("canonical_url", HOST_RX, 1).alias("host")
+    )
+    surv_ids = hosts.join(
+        F.broadcast(spark.sql(blocklist_sql("spark"))), "host", "left_anti"
+    ).select("doc_id")
+    surv = docs.join(surv_ids, "doc_id", "left_semi")
+    blocks = with_extracted_blocks(with_synth_html(surv)).select(
+        "doc_id", F.col("block_text").alias("text")
+    )
+    kept = (
+        with_classifier_score(blocks)
+        .where(F.col("quality_keep"))
+        .select("doc_id", "text")
+    )
+    return paragraph_dedup(kept).selectExpr(
+        "doc_id", "kept_text AS final_text", "n_paras", "n_kept"
+    )

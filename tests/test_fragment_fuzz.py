@@ -97,6 +97,7 @@ FUZZ_QUERIES = [
     "ccnet_ppl_buckets",
     "web_host_pagerank",
     "train_val_split",
+    "web_curation_pipeline_e2e",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

@@ -542,6 +542,25 @@ def main():
             ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
         ],
     )
+    from sketchlib.webpipe import web_curation_pipeline
+
+    show(
+        "web curation pipeline e2e (5 composed stages, one corpus-text shuffle added)",
+        web_curation_pipeline(spark, docs),
+        checks=[
+            ("blocklist stays a broadcast anti-join inside the composition",
+             lambda p: "BroadcastHashJoin" in p and "LeftAnti, BuildRight" in p),
+            ("keep/survivor filtering is semi-join shaped",
+             lambda p: "LeftSemi" in p),
+            ("no cartesian/nested loop",
+             lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
+            ("no single-partition exchange",
+             lambda p: "Exchange SinglePartition" not in p),
+            ("corpus scans prune to doc_id(+text)",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p
+             and "ReadSchema: struct<doc_id:bigint>" in p),
+        ],
+    )
     from sketchlib.graphops import host_graph, host_pagerank
 
     show(
