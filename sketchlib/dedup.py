@@ -40,6 +40,26 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     )
 
 
+def paragraph_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, para, __norm): one row per non-empty paragraph —
+    split on newline runs, ``__norm`` whitespace-normalized (the dedup
+    identity). Shared by the batch :func:`paragraph_dedup` and the
+    streaming sink (sketchlib.streaming.incremental_paragraph_dedup_sink)
+    so both paths dedup on the same identity."""
+    from sketchlib.textops import _rx, norm_ws_sql
+
+    nl_runs = _rx("spark", r"\n+")
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(f"split(text, {nl_runs})")).alias("pos", "para"),
+        )
+        .withColumn("__norm", F.expr(norm_ws_sql("spark", "para")))
+        .where(F.col("__norm") != "")
+    )
+
+
 def paragraph_dedup(docs: DataFrame) -> DataFrame:
     """Dolma/C4-style corpus-wide exact PARAGRAPH dedup: split each doc
     on newline runs, keep only the globally-first occurrence of each
@@ -62,19 +82,9 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     engines (split keeps empty segments; they filter identically), so
     the occurrence choice is engine-exact. Assumes doc_id unique (the
     convention of every doc-level entry)."""
-    from sketchlib.textops import _rx, norm_ws_sql
     from pyspark.sql import Window
 
-    nl_runs = _rx("spark", r"\n+")
-    paras = (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.posexplode(F.expr(f"split(text, {nl_runs})")).alias("pos", "para"),
-        )
-        .withColumn("__norm", F.expr(norm_ws_sql("spark", "para")))
-        .where(F.col("__norm") != "")
-    )
+    paras = paragraph_table(docs)
     w = Window.partitionBy(F.xxhash64("__norm")).orderBy("doc_id", "pos")
     marked = paras.withColumn("keep", F.row_number().over(w) == 1)
     return marked.groupBy("doc_id").agg(

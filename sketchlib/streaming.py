@@ -130,6 +130,105 @@ def read_state(spark, state_dir: str) -> DataFrame:
         return spark.read.parquet(json.load(f)["state"])
 
 
+def incremental_paragraph_dedup_sink(
+    spec: CuckooSpec, state_dir: str, out_dir: str, fanin: int = 64
+):
+    """``foreachBatch`` sink: Dolma-style corpus-wide paragraph dedup
+    over a CONTINUOUS document stream — the crawl-ingestion shape, where
+    "the corpus" is every batch seen so far. The accumulated dedup state
+    is this repo's sharded cuckoo filter (the kernel's streaming
+    use-case): membership answers "seen in any prior batch", deletions
+    stay available for retraction workflows.
+
+    Per micro-batch (exactly-once via the crash-atomic epoch pointer):
+      1. explode to normalized paragraphs (``dedup.paragraph_table`` —
+         the SAME identity as the batch operator);
+      2. PROBE the committed filter — no false negatives, so a duplicate
+         paragraph is NEVER emitted twice across the stream; a false
+         positive (bounded by ``spec.fpsize``) drops a novel paragraph,
+         the same trade Dolma's bloom-filter dedup makes;
+      3. within-batch first occurrence by (doc_id, pos) over the 8-byte
+         paragraph hash (the batch operator's window, scoped to the
+         batch);
+      4. keep = unseen ∧ first; reassemble docs in paragraph order and
+         append (doc_id, kept_text, n_paras, n_kept, epoch) under
+         ``out_dir/batch_epoch{N}``;
+      5. fold the kept paragraphs into the filter (O(batch) fast fold)
+         and flip ``epoch.json``.
+
+    With micro-batches arriving in doc_id order the emitted corpus equals
+    the batch :func:`sketchlib.dedup.paragraph_dedup` over the
+    concatenated input (parity-tested); under arbitrary arrival order the
+    first ARRIVAL wins instead of the smallest (doc_id, pos) — the
+    streaming-semantics difference, documented not hidden."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from sketchlib.dedup import paragraph_table
+    from sketchlib.spark.cuckoo import ShardedCuckoo, probe
+
+    epoch_path = os.path.join(state_dir, "epoch.json")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        os.makedirs(state_dir, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
+        commit = None
+        if os.path.exists(epoch_path):
+            with open(epoch_path) as f:
+                commit = json.load(f)
+        if commit is not None and epoch_id <= commit["epoch"]:
+            return  # replayed micro-batch: output + state already committed
+        spark = batch_df.sparkSession
+        paras = paragraph_table(batch_df)
+        if commit is not None:
+            prior = spark.read.parquet(commit["state"])
+            sc = ShardedCuckoo.from_df(prior, spec)
+            paras = probe(paras, sc, key=F.col("__norm"), result_col="__seen")
+        else:
+            prior = None
+            paras = paras.withColumn("__seen", F.lit(False))
+        w = Window.partitionBy(F.xxhash64("__norm")).orderBy("doc_id", "pos")
+        marked = paras.withColumn(
+            "keep", (F.row_number().over(w) == 1) & ~F.col("__seen")
+        ).localCheckpoint(eager=True)  # fans out into output + state fold
+        out = marked.groupBy("doc_id").agg(
+            F.expr(
+                "concat_ws('\\n', transform(array_sort("
+                "collect_list(CASE WHEN keep THEN struct(pos, para) END)), s -> s.para))"
+            ).alias("kept_text"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.expr("CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)").alias(
+                "n_kept"
+            ),
+            F.lit(int(epoch_id)).alias("epoch"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_epoch{epoch_id}")
+        )
+        kept = marked.where("keep").select("doc_id", "__norm")
+        partials = build_partials(kept, spec, key=F.col("__norm"))
+        if prior is None:
+            prior = spark.createDataFrame([], partials.schema)
+        merged = fold_partials_into(prior, partials, spec)
+        new_state = os.path.join(state_dir, f"state_epoch{epoch_id}")
+        merged.write.mode("overwrite").parquet(new_state)
+        tmp = epoch_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"epoch": epoch_id, "state": new_state}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, epoch_path)
+        keep_dirs = {os.path.basename(new_state)}
+        if commit is not None:
+            keep_dirs.add(os.path.basename(commit["state"]))
+        for d in os.listdir(state_dir):
+            if d.startswith("state_epoch") and d not in keep_dirs:
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+    return sink
+
+
 def streaming_distinct_per_key(
     stream: DataFrame,
     key_col: str,

@@ -390,3 +390,50 @@ def test_streaming_distinct_validates_params_on_driver(spark, sf_dir):
         streaming_distinct_per_key(stream, "event_type", "user_id", p=25)
     with pytest.raises(ValueError, match="hll precision"):
         streaming_distinct_per_key(stream, "event_type", "user_id", p=2)
+
+
+def test_streaming_paragraph_dedup_matches_batch(spark):
+    """Doc_id-ordered micro-batches through the paragraph sink emit
+    exactly the batch paragraph_dedup corpus (fp32 state → FP ~0), a
+    duplicate paragraph never appears twice across batches, and a
+    replayed epoch is a no-op for both output and state."""
+    from sketchlib.dedup import paragraph_dedup
+    from sketchlib.streaming import incremental_paragraph_dedup_sink
+
+    rows = []
+    for i in range(90):
+        rows.append((i, f"unique para {i}\nshared boilerplate line\ncommon {i % 5}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["kept_text"], r["n_paras"], r["n_kept"])
+        for r in paragraph_dedup(docs).collect()
+    }
+
+    spec = CuckooSpec(name="parastream", size=size_for(4000, 4), fpsize=4, num_shards=2)
+    work = tempfile.mkdtemp(prefix="sketchlib-parastream-")
+    state_dir, out_dir = os.path.join(work, "state"), os.path.join(work, "out")
+    try:
+        sink = incremental_paragraph_dedup_sink(spec, state_dir, out_dir)
+        for e, lo in enumerate(range(0, 90, 30)):
+            sink(docs.where(F.col("doc_id").between(lo, lo + 29)), e)
+        got = {
+            r["doc_id"]: (r["kept_text"], r["n_paras"], r["n_kept"])
+            for r in spark.read.parquet(os.path.join(out_dir, "batch_epoch*")).collect()
+        }
+        assert got == want
+        # replayed epoch: no-op (same output dirs, same state pointer)
+        import json as _json
+
+        with open(os.path.join(state_dir, "epoch.json")) as f:
+            before = _json.load(f)
+        sink(docs.limit(5), 1)
+        with open(os.path.join(state_dir, "epoch.json")) as f:
+            assert _json.load(f) == before
+        # cross-batch guarantee: each normalized paragraph at most once
+        kept_paras = []
+        for (text, _, _) in got.values():
+            kept_paras += [p.strip() for p in text.split("\n") if p.strip()]
+        assert len(kept_paras) == len(set(kept_paras))
+        assert "shared boilerplate line" in set(kept_paras)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
