@@ -229,6 +229,60 @@ def incremental_paragraph_dedup_sink(
     return sink
 
 
+def retract_paragraphs_from_state(
+    spec: CuckooSpec, state_dir: str, kept_docs: DataFrame
+) -> int:
+    """Retract previously-emitted documents from the paragraph-dedup
+    stream state — the takedown/GDPR workflow, and the reason the state
+    is a CUCKOO filter rather than a bloom filter: CF.REM gives EXACT
+    deletion (the reference's core differentiator), so after retraction
+    a future re-ingestion of the same paragraphs keeps them again.
+
+    ``kept_docs``: the (doc_id, kept_text) rows the sink EMITTED for the
+    docs being retracted (take them from the sink's output — they are,
+    by construction, exactly the paragraph classes whose filter entry
+    those docs own). Retracting paragraphs that were never kept removes
+    non-members and permanently poisons the touched shard (reference
+    poison-on-miss semantics — loud, not silent). Returns the number of
+    distinct paragraph classes removed. Commits crash-atomically under a
+    retract-suffixed state directory; the epoch counter is untouched, so
+    the stream's replay guard is unaffected."""
+    import shutil
+
+    from sketchlib.dedup import paragraph_table
+    from sketchlib.spark.cuckoo import remove_keys
+
+    epoch_path = os.path.join(state_dir, "epoch.json")
+    with open(epoch_path) as f:
+        commit = json.load(f)
+    spark = kept_docs.sparkSession
+    prior = spark.read.parquet(commit["state"])
+    norms = (
+        paragraph_table(kept_docs.select("doc_id", F.col("kept_text").alias("text")))
+        .select("__norm")
+        .distinct()
+        .localCheckpoint(eager=True)  # count + remove both consume it
+    )
+    n = norms.count()
+    merged = remove_keys(prior, norms, spec, key=F.col("__norm"))
+    k = int(commit.get("retracts", 0)) + 1
+    new_state = os.path.join(state_dir, f"state_epoch{commit['epoch']}r{k}")
+    merged.write.mode("overwrite").parquet(new_state)
+    tmp = epoch_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"epoch": commit["epoch"], "retracts": k, "state": new_state}, f
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, epoch_path)
+    keep_dirs = {os.path.basename(new_state), os.path.basename(commit["state"])}
+    for d in os.listdir(state_dir):
+        if d.startswith("state_epoch") and d not in keep_dirs:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+    return n
+
+
 def streaming_distinct_per_key(
     stream: DataFrame,
     key_col: str,

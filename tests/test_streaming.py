@@ -437,3 +437,39 @@ def test_streaming_paragraph_dedup_matches_batch(spark):
         assert "shared boilerplate line" in set(kept_paras)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_paragraph_retraction_exact_deletion(spark):
+    """Cuckoo-backed retraction: after retracting a doc's emitted
+    paragraphs, re-ingesting the same text keeps them again (exact
+    deletion — the bloom-state design cannot do this); untouched
+    paragraph classes still dedup."""
+    from sketchlib.streaming import (
+        incremental_paragraph_dedup_sink,
+        retract_paragraphs_from_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "secret para one\nsecret para two\ncommon line"),
+         (2, "other text\ncommon line")],
+        "doc_id long, text string",
+    )
+    spec = CuckooSpec(name="retract", size=size_for(1000, 4), fpsize=4, num_shards=2)
+    work = tempfile.mkdtemp(prefix="sketchlib-retract-")
+    state_dir, out_dir = os.path.join(work, "state"), os.path.join(work, "out")
+    try:
+        sink = incremental_paragraph_dedup_sink(spec, state_dir, out_dir)
+        sink(docs, 0)
+        emitted = spark.read.parquet(os.path.join(out_dir, "batch_epoch0"))
+        n = retract_paragraphs_from_state(
+            spec, state_dir, emitted.where("doc_id = 1").select("doc_id", "kept_text")
+        )
+        assert n == 3  # doc 1 owned all three of its classes (incl. common line)
+        # re-ingestion: doc 1's paragraphs are novel again; doc 2's
+        # surviving class ('other text') still dedups
+        sink(spark.createDataFrame(
+            [(10, "secret para one\nother text")], "doc_id long, text string"), 1)
+        out1 = spark.read.parquet(os.path.join(out_dir, "batch_epoch1")).first()
+        assert out1["kept_text"] == "secret para one" and out1["n_kept"] == 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
