@@ -472,6 +472,18 @@ def main():
         lambda: domain_blocklist_stats(spark, docs).agg(F.sum("n_docs")).collect(),
     )
 
+    from sketchlib.graphops import host_pagerank
+    from sketchlib.webpipe import web_curation_pipeline
+
+    timed(
+        "web_host_pagerank",
+        lambda: host_pagerank(docs).agg(F.sum("pagerank_q")).collect(),
+    )
+    timed(
+        "web_curation_pipeline_e2e",
+        lambda: web_curation_pipeline(spark, docs).agg(F.sum("n_kept")).collect(),
+    )
+
     from sketchlib.dedup import benchmark_span_overlap
     from sketchlib.relops import priority_sample, sample_by_hash
 

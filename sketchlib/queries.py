@@ -827,6 +827,7 @@ _GATE_FRONT = [
     "web_host_pagerank",             # host-graph centrality (CC ranking)
     "train_val_split",               # leakage-safe split (dedup-keyed)
     "web_curation_pipeline_e2e",     # five webtext stages composed
+    "curation_funnel_stats",         # per-stage survivor/token funnel
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

@@ -400,7 +400,9 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_docs(spark, sf_dir))
 
 
-def _webpipe_oracle() -> str:
+def _webpipe_ctes(text_out: str = "final_text") -> str:
+    """The composed five-stage CTE chain (through wp_scored and the
+    paragraph CTEs) — shared by the e2e oracle and the funnel oracle."""
     from sketchlib.htmlops import html_cte_sql, synth_html_sql
     from sketchlib.textops import classifier_score_sql
     from sketchlib.urlops import HOST_RX, blocklist_sql, canonical_url_cte_sql
@@ -415,7 +417,7 @@ def _webpipe_oracle() -> str:
         blocks=True,
     )
     html_ctes = html_withs[len("WITH ") :]
-    para_ctes, para_select = _para_dedup_ctes("wp_scored", text_out="final_text")
+    para_ctes, para_select = _para_dedup_ctes("wp_scored", text_out=text_out)
     return f"""
 WITH {url_ctes},
 wp_keep AS (SELECT min(doc_id) AS doc_id FROM {url_last} GROUP BY canonical_url),
@@ -430,9 +432,12 @@ wp_surv AS (SELECT doc_id FROM wp_hosts h
 wp_text AS (SELECT doc_id, block_text AS text FROM {html_last}),
 wp_scored AS (SELECT doc_id, text FROM wp_text
               WHERE ({classifier_score_sql('duckdb')}) >= 0),
-{para_ctes}
-{para_select}
-"""
+{para_ctes},
+wp_final AS ({para_select})"""
+
+
+def _webpipe_oracle() -> str:
+    return f"{_webpipe_ctes()}\nSELECT * FROM wp_final"
 
 
 @register("web_curation_pipeline_e2e", _webpipe_oracle())
@@ -446,6 +451,43 @@ def web_curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.webpipe import web_curation_pipeline
 
     return web_curation_pipeline(spark, _docs(spark, sf_dir))
+
+
+def _funnel_oracle() -> str:
+    from sketchlib.textops import token_count_sql
+
+    tok = token_count_sql("duckdb")
+
+    def stage(name: str, src: str) -> str:
+        return (
+            f"SELECT '{name}' AS stage, CAST(count(*) AS BIGINT) AS n_docs, "
+            f"CAST(coalesce(sum({tok}), 0) AS BIGINT) AS n_tokens FROM {src}"
+        )
+
+    srcs = [
+        ("0_input", "(SELECT doc_id, text FROM documents WHERE text IS NOT NULL) s0"),
+        ("1_url_dedup",
+         "(SELECT d.doc_id, d.text FROM documents d JOIN wp_keep USING (doc_id) "
+         "WHERE d.text IS NOT NULL) s1"),
+        ("2_blocklist",
+         "(SELECT d.doc_id, d.text FROM documents d JOIN wp_surv USING (doc_id) "
+         "WHERE d.text IS NOT NULL) s2"),
+        ("3_classifier", "wp_scored"),
+        ("4_paragraph_dedup", "wp_final"),
+    ]
+    body = "\nUNION ALL\n".join(stage(n, s) for n, s in srcs)
+    return f"{_webpipe_ctes(text_out='text')}\n{body}"
+
+
+@register("curation_funnel_stats", _funnel_oracle())
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability: documents and whitespace tokens surviving
+    each of the five web-curation stage boundaries — the funnel table
+    every production run reports. Five global aggregates over the shared
+    stage relations; exchanges carry one partial row per task."""
+    from sketchlib.webpipe import curation_funnel
+
+    return curation_funnel(spark, _docs(spark, sf_dir))
 
 
 def _html_source_sql() -> str:

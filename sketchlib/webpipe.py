@@ -40,11 +40,13 @@ from sketchlib.urlops import (
 )
 
 
-def web_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """(doc_id, final_text, n_paras, n_kept) for every document that
-    survives url-dedup + blocklist + quality gate and has ≥1 non-empty
-    extracted paragraph (an all-duplicate doc survives with empty
-    final_text — the paragraph contract)."""
+def pipeline_stages(spark: SparkSession, docs: DataFrame) -> dict[str, DataFrame]:
+    """The pipeline's intermediates, one (doc_id, text)-bearing relation
+    per stage boundary — the pipeline itself consumes ``dedup``; the
+    funnel-accounting query consumes all of them. Text per stage is the
+    text the NEXT stage would consume: raw document text through the
+    id-level stages, extracted block text after the classifier, the
+    deduped reassembly at the end."""
     u = with_canonical_url(with_synth_url(docs)).select("doc_id", "canonical_url")
     keepers = (
         u.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
@@ -55,7 +57,9 @@ def web_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
     surv_ids = hosts.join(
         F.broadcast(spark.sql(blocklist_sql("spark"))), "host", "left_anti"
     ).select("doc_id")
-    surv = docs.join(surv_ids, "doc_id", "left_semi")
+    base = docs.where(F.col("text").isNotNull()).select("doc_id", "text")
+    kept_url = base.join(keepers, "doc_id", "left_semi")
+    surv = base.join(surv_ids, "doc_id", "left_semi")
     blocks = with_extracted_blocks(with_synth_html(surv)).select(
         "doc_id", F.col("block_text").alias("text")
     )
@@ -64,6 +68,53 @@ def web_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
         .where(F.col("quality_keep"))
         .select("doc_id", "text")
     )
-    return paragraph_dedup(kept).selectExpr(
+    dedup = paragraph_dedup(kept)
+    return {
+        "0_input": base,
+        "1_url_dedup": kept_url,
+        "2_blocklist": surv,
+        "3_classifier": kept,
+        "4_paragraph_dedup": dedup.selectExpr("doc_id", "kept_text AS text"),
+        "__final": dedup,
+    }
+
+
+def web_curation_pipeline(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, final_text, n_paras, n_kept) for every document that
+    survives url-dedup + blocklist + quality gate and has ≥1 non-empty
+    extracted paragraph (an all-duplicate doc survives with empty
+    final_text — the paragraph contract)."""
+    return pipeline_stages(spark, docs)["__final"].selectExpr(
         "doc_id", "kept_text AS final_text", "n_paras", "n_kept"
     )
+
+
+def curation_funnel(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(stage, n_docs, n_tokens): the curation funnel — how many
+    documents and whitespace tokens survive each stage boundary (the
+    observability table every production pipeline reports; stage ids
+    sort lexicographically). Each row is a global aggregate of one stage
+    relation; at any corpus size this is five counting passes whose
+    exchanges carry one partial row per task."""
+    from sketchlib.textops import token_count_sql
+
+    tok = token_count_sql("spark")
+    stages = pipeline_stages(spark, docs)
+    outs = []
+    for stage, df in stages.items():
+        if stage == "__final":
+            continue
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.expr(f"CAST(coalesce(sum({tok}), 0) AS BIGINT)").alias("__t"),
+            ).selectExpr(
+                f"'{stage}' AS stage",
+                "CAST(__n AS BIGINT) AS n_docs",
+                "__t AS n_tokens",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

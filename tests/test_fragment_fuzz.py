@@ -98,6 +98,7 @@ FUZZ_QUERIES = [
     "web_host_pagerank",
     "train_val_split",
     "web_curation_pipeline_e2e",
+    "curation_funnel_stats",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
