@@ -81,20 +81,39 @@ def content_cache_path(
     return os.path.join(CACHE_ROOT, base, f"{name}_{fp}")
 
 
-def ensure_cached(path: str, writer: Callable[[str], None]) -> str:
+def ensure_cached(
+    path: str, writer: Callable[[str], None], expect: tuple[str, ...] = ()
+) -> str:
     """Build-if-missing with an ATOMIC publish: ``writer(tmp)`` writes to
     a unique sibling temp dir, then ``os.rename`` publishes it at
     ``path``. POSIX rename onto an existing non-empty dir fails, so the
     first publisher wins, later builders discard their temp and read the
     winner — a published dir is immutable and readers can never observe a
-    partial or mid-overwrite state."""
+    partial or mid-overwrite state.
+
+    ``expect``: child paths (relative to the cache dir) that a VALID
+    publication must contain. The marker alone proves the publish rename
+    happened, not that every artifact the CONSUMER reads exists — a
+    killed run's half-materialized state (or a writer edit that drops an
+    artifact) would otherwise wedge the entry until manual rmtree
+    (observed r6: an IVF cache published with ``index`` but no
+    ``index_centroids`` after a SIGTERM mid-session). A marker-bearing
+    dir missing an expected child is quarantined and rebuilt, and the
+    same validation is applied to OUR OWN publication before returning."""
     marker = os.path.join(path, "_SUCCESS")
-    if os.path.exists(marker):
+
+    def _valid() -> bool:
+        return os.path.exists(marker) and all(
+            os.path.exists(os.path.join(path, e)) for e in expect
+        )
+
+    if _valid():
         return path
     if os.path.exists(path):
-        # a dir exists but carries no _SUCCESS (writer that skipped the
-        # marker, or success-marker conf disabled): quarantine it so the
-        # publish below can land instead of wedging forever (ADVICE r5)
+        # a dir exists but is invalid — no _SUCCESS (writer that skipped
+        # the marker, or success-marker conf disabled) or a missing
+        # expected child: quarantine it so the publish below can land
+        # instead of wedging forever (ADVICE r5, r6 partial-publish)
         quarantine = f"{path}.markerless-{uuid.uuid4().hex}"
         try:
             os.rename(path, quarantine)
@@ -114,9 +133,10 @@ def ensure_cached(path: str, writer: Callable[[str], None]) -> str:
     finally:
         # a raising writer (or a lost race) must not leak the temp dir
         shutil.rmtree(tmp, ignore_errors=True)
-    if not os.path.exists(marker):
+    if not _valid():
         raise RuntimeError(
-            f"cache publish failed for {path}: no _SUCCESS marker "
+            f"cache publish failed for {path}: missing _SUCCESS marker or "
+            f"an expected child of {expect} "
             f"(remediation: rm -rf {path} and rerun)"
         )
     return path

@@ -1738,7 +1738,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index(emb, os.path.join(tmp, "index"), k=16, lloyd_iters=2)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
-    ensure_cached(idx, _write)
+    ensure_cached(idx, _write, expect=("index", "index_centroids"))
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return ivf_topk(spark, f"{idx}/index", qvec, k=10, nprobe=12).select("vec_id")
 
@@ -1786,7 +1786,7 @@ def ann_ivf_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index(emb2, os.path.join(tmp, "index"), k=16, lloyd_iters=2)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
-    ensure_cached(idx, _write)
+    ensure_cached(idx, _write, expect=("index", "index_centroids"))
     qvec = emb2.filter(F.col("vec_id") == 0).first()["embedding"]
     return ivf_topk(spark, f"{idx}/index", qvec, k=10, nprobe=2).select("vec_id")
 
@@ -1819,7 +1819,7 @@ def ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivf_index(emb2, os.path.join(tmp, "index"), k=16, lloyd_iters=2)
         open(os.path.join(tmp, "_SUCCESS"), "w").close()
 
-    ensure_cached(idx, _write)
+    ensure_cached(idx, _write, expect=("index", "index_centroids"))
     qs = emb2.filter(F.col("vec_id").isin([0, 7, 23])).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

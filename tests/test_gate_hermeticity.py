@@ -217,3 +217,39 @@ def test_rollup_cache_is_immutable_published(spark, sf_dir, q):
     assert mtimes == {
         f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
     }, "published cache dir was rewritten — it must be immutable"
+
+
+def test_ensure_cached_expect_heals_partial_publish(tmp_path):
+    """A marker-bearing cache dir missing an expected child (the r6
+    SIGTERM-mid-session state) is quarantined and rebuilt instead of
+    wedging every consumer; a valid dir is still never rebuilt; a writer
+    that fails to produce an expected child raises loudly."""
+    import pytest
+
+    from sketchlib.cache import ensure_cached
+
+    path = str(tmp_path / "ivfcache")
+    # simulate the partial publish: marker present, 'index_centroids' absent
+    os.makedirs(os.path.join(path, "index"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+
+    def good(tmp):
+        os.makedirs(os.path.join(tmp, "index"))
+        os.makedirs(os.path.join(tmp, "index_centroids"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    ensure_cached(path, good, expect=("index", "index_centroids"))
+    assert os.path.exists(os.path.join(path, "index_centroids"))
+    # now valid: not rebuilt
+    calls = []
+    ensure_cached(path, lambda t: calls.append(t), expect=("index", "index_centroids"))
+    assert calls == []
+    # a writer that omits an expected child must raise, not publish quietly
+    bad_path = str(tmp_path / "badcache")
+
+    def bad(tmp):
+        os.makedirs(os.path.join(tmp, "index"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    with pytest.raises(RuntimeError, match="expected child"):
+        ensure_cached(bad_path, bad, expect=("index", "index_centroids"))
