@@ -828,6 +828,7 @@ _GATE_FRONT = [
     "train_val_split",               # leakage-safe split (dedup-keyed)
     "web_curation_pipeline_e2e",     # five webtext stages composed
     "curation_funnel_stats",         # per-stage survivor/token funnel
+    "doc_charset_profile",           # script profiling + mojibake gate
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

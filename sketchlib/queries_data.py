@@ -581,6 +581,31 @@ def lm_bigram_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_docs(spark, sf_dir))
 
 
+def _charset_oracle() -> str:
+    from sketchlib.textops import charset_profile_cols
+
+    cols = charset_profile_cols("duckdb")
+    keep = cols.pop("charset_keep")
+    inner = ", ".join(f"{v} AS {k}" for k, v in cols.items())
+    return (
+        f"SELECT *, {keep} AS charset_keep FROM "
+        f"(SELECT doc_id, {inner} FROM documents WHERE text IS NOT NULL)"
+    )
+
+
+@register("doc_charset_profile", _charset_oracle())
+def doc_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset/script profiling + mojibake detection (the RefinedWeb
+    encoding-sanity stage): per-class codepoint counts via codepoint-
+    RANGE regex classes only (\\x{{...}} resolves identically in Java
+    regex and RE2; named script properties don't), replacement-char and
+    stray-control detection driving the keep-decision. Zero-shuffle
+    codegen projection; all-integer engine-exact."""
+    from sketchlib.textops import with_charset_profile
+
+    return with_charset_profile(_docs(spark, sf_dir))
+
+
 _CCNET_ORACLE = """
 WITH toks AS (SELECT doc_id, {ta} AS a FROM documents WHERE text IS NOT NULL),
 bg AS (SELECT doc_id, unnest(CASE WHEN len(a) < 2 THEN []::VARCHAR[]

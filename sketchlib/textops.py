@@ -677,6 +677,53 @@ def bigram_lm_scores(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
     )
 
 
+#: (column, regex class) for the charset profile — codepoint RANGES only
+#: (\x{...} hex escapes resolve identically in Java regex and RE2; named
+#: script properties do NOT — their Unicode tables differ by engine).
+#: control excludes tab/newline/CR (legitimate whitespace) and NUL (not
+#: representable in a SQL literal; NUL-bearing text still counts via the
+#: other classes and total).
+CHARSET_CLASSES: list[tuple[str, str]] = [
+    ("n_latin", r"[A-Za-z]"),
+    ("n_cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("n_cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("n_arabic", r"[\x{0600}-\x{06FF}]"),
+    ("n_replacement", r"\x{FFFD}"),
+    ("n_control", r"[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]"),
+]
+
+
+def charset_profile_cols(dialect: str, col: str = "text") -> dict[str, str]:
+    """Per-class codepoint counts + the mojibake keep-decision — the
+    RefinedWeb/CCNet encoding-sanity stage (replacement chars U+FFFD mark
+    decode errors; stray C0 controls mark binary-in-text). All counts via
+    length-delta of a class-strip regexp_replace: length() is codepoints
+    in BOTH engines (the repo's pinned astral behavior), so counts are
+    engine-exact integers."""
+    g = _replace_all_flag(dialect)
+    out = {"n_chars_cp": f"CAST(length({col}) AS BIGINT)"}
+    for name, pat in CHARSET_CLASSES:
+        out[name] = (
+            f"CAST(length({col}) - "
+            f"length(regexp_replace({col}, {_rx(dialect, pat)}, ''{g})) AS BIGINT)"
+        )
+    out["charset_keep"] = "n_replacement = 0 AND n_control = 0"
+    return out
+
+
+def with_charset_profile(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_cp, n_latin, n_cjk, n_cyrillic, n_arabic,
+    n_replacement, n_control, charset_keep): ZERO-shuffle codegen
+    projection (six regexp_replace over one row — no explode, no
+    groupBy). NULL texts drop (the text-operator contract)."""
+    cols = charset_profile_cols("spark")
+    keep = cols.pop("charset_keep")
+    out = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", *[F.expr(v).alias(k) for k, v in cols.items()]
+    )
+    return out.withColumn("charset_keep", F.expr(keep))
+
+
 def ccnet_buckets(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
     """CCNet-style per-language perplexity bucketing: docs split into
     head/middle/tail thirds by LM quality within their language, the

@@ -99,6 +99,7 @@ FUZZ_QUERIES = [
     "train_val_split",
     "web_curation_pipeline_e2e",
     "curation_funnel_stats",
+    "doc_charset_profile",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

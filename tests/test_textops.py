@@ -414,3 +414,48 @@ def test_ccnet_buckets_end_to_end_partitions_the_scored_docs(spark):
             assert min(heads) > max(tails), lang
         for r in rs:
             assert r["ccnet_keep"] == (r["ppl_bucket"] != "tail")
+
+
+def test_charset_profile_hand_computed(spark):
+    """Codepoint-class counts on hand-built rows: CJK/Cyrillic/Arabic
+    ranges, astral emoji count toward totals only, U+FFFD and stray C0
+    controls flip the keep-decision while tab/newline do not."""
+    import duckdb
+
+    from sketchlib.textops import charset_profile_cols, with_charset_profile
+
+    rows = [
+        (0, "ab YZ"),
+        (1, "漢字 test Ж ب"),
+        (2, "bad � decode"),
+        (3, "ctrl\x01here"),
+        (4, "tab\tand\nnewline ok"),
+        (5, "emoji \U0001f600 only"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in with_charset_profile(df).collect()}
+    assert 6 not in got
+    assert (got[0]["n_latin"], got[0]["n_chars_cp"]) == (4, 5)
+    assert (got[1]["n_cjk"], got[1]["n_cyrillic"], got[1]["n_arabic"]) == (2, 1, 1)
+    assert got[2]["n_replacement"] == 1 and not got[2]["charset_keep"]
+    assert got[3]["n_control"] == 1 and not got[3]["charset_keep"]
+    assert got[4]["n_control"] == 0 and got[4]["charset_keep"]
+    assert got[5]["n_chars_cp"] == len("emoji X only")  # astral = 1 codepoint
+    # cross-engine parity on the same rows
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    cols = charset_profile_cols("duckdb")
+    keep = cols.pop("charset_keep")
+    inner = ", ".join(f"{v} AS {k}" for k, v in cols.items())
+    oracle = con.sql(
+        f"SELECT *, {keep} AS charset_keep FROM "
+        f"(SELECT doc_id, {inner} FROM documents WHERE text IS NOT NULL)"
+    ).df()
+    for _, row in oracle.iterrows():
+        d = int(row["doc_id"])
+        for c in ("n_chars_cp", "n_latin", "n_cjk", "n_cyrillic", "n_arabic",
+                  "n_replacement", "n_control"):
+            assert int(row[c]) == got[d][c], (d, c)
+        assert bool(row["charset_keep"]) == got[d]["charset_keep"], d
