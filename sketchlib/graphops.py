@@ -129,3 +129,36 @@ def pagerank(edge_df: DataFrame, iterations: int = 3) -> DataFrame:
     return nodes.join(ranks, "host").selectExpr(
         "host", "r AS pagerank_q", "out_weight"
     )
+
+
+def host_crawl_priority(docs: DataFrame, iterations: int = 3) -> DataFrame:
+    """(host, pagerank_q, out_weight, n_docs, sum_quality): the
+    crawl-scheduling table — host centrality (PageRank over the link
+    graph) joined with the host's corpus footprint and total classifier
+    quality (Common Crawl publishes exactly this pairing: harmonic-rank
+    lists consumed next to per-domain content stats). Hosts with pages
+    whose text all fails the classifier's NULL contract drop (inner
+    join, documented). ``sum_quality`` stays a raw signed BIGINT — no
+    avg here: integer division of signed sums is the div-vs-floor
+    cross-engine trap (CLAUDE.md); consumers divide in one engine.
+
+    Scale shape: the quality side is one host-keyed aggregation with
+    map-side partial count/sum (hosts on the wire, not docs); the join
+    is host-cardinality × host-cardinality."""
+    from sketchlib.textops import classifier_score_sql
+    from sketchlib.urlops import _md5i
+
+    src = _md5i("spark", "'url-base:' || CAST(doc_id AS STRING)") + " % 200"
+    hq = (
+        docs.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .selectExpr(
+            f"'h' || CAST(({src}) % 40 AS STRING) || '.example.com' AS host",
+            f"{classifier_score_sql('spark')} AS __q",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(sum(__q) AS BIGINT)").alias("sum_quality"),
+        )
+    )
+    return host_pagerank(docs, iterations).join(hq, "host")

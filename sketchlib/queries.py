@@ -829,6 +829,7 @@ _GATE_FRONT = [
     "web_curation_pipeline_e2e",     # five webtext stages composed
     "curation_funnel_stats",         # per-stage survivor/token funnel
     "doc_charset_profile",           # script profiling + mojibake gate
+    "host_crawl_priority",           # pagerank × quality crawl table
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

@@ -312,7 +312,7 @@ def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_split(_docs(spark, sf_dir))
 
 
-def _pagerank_oracle(iterations: int = 3) -> str:
+def _pagerank_withs(iterations: int = 3) -> str:
     from sketchlib.graphops import DAMP_DEN, DAMP_NUM, RANK_SCALE, host_edges_sql
 
     base = DAMP_DEN - DAMP_NUM
@@ -338,11 +338,42 @@ def _pagerank_oracle(iterations: int = 3) -> str:
             f" + ({DAMP_NUM} * coalesce(c{i}.s, 0)) // {DAMP_DEN} AS BIGINT) AS r"
             f" FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.host)"
         )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT n.host, r{iterations}.r AS pagerank_q, n.out_weight"
-        f" FROM nodes n JOIN r{iterations} USING (host)"
+    ctes.append(
+        f"pr AS (SELECT n.host, r{iterations}.r AS pagerank_q, n.out_weight"
+        f" FROM nodes n JOIN r{iterations} USING (host))"
     )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    return f"{_pagerank_withs(iterations)}\nSELECT * FROM pr"
+
+
+def _crawl_priority_oracle() -> str:
+    from sketchlib.textops import classifier_score_sql
+    from sketchlib.urlops import _md5i
+
+    src = _md5i("duckdb", "'url-base:' || CAST(doc_id AS VARCHAR)") + " % 200"
+    return f"""{_pagerank_withs()},
+hq AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(q) AS BIGINT) AS sum_quality
+       FROM (SELECT 'h' || CAST(({src}) % 40 AS VARCHAR) || '.example.com' AS host,
+                    {classifier_score_sql('duckdb')} AS q
+             FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+       GROUP BY 1)
+SELECT pr.host, pr.pagerank_q, pr.out_weight, hq.n_docs, hq.sum_quality
+FROM pr JOIN hq USING (host)"""
+
+
+@register("host_crawl_priority", _crawl_priority_oracle())
+def host_crawl_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-scheduling table: host PageRank joined with the host's
+    corpus footprint and summed classifier quality. sum stays a raw
+    signed BIGINT (no integer avg — the signed div-vs-floor engine
+    trap); quality side is one host-keyed map-side-combined agg."""
+    from sketchlib.graphops import host_crawl_priority
+
+    return host_crawl_priority(_docs(spark, sf_dir))
 
 
 @register("web_host_pagerank", _pagerank_oracle())

@@ -100,6 +100,7 @@ FUZZ_QUERIES = [
     "web_curation_pipeline_e2e",
     "curation_funnel_stats",
     "doc_charset_profile",
+    "host_crawl_priority",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on
