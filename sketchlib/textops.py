@@ -724,6 +724,62 @@ def with_charset_profile(docs: DataFrame) -> DataFrame:
     return out.withColumn("charset_keep", F.expr(keep))
 
 
+def with_compression_ratio(docs: DataFrame, level: int = 6) -> DataFrame:
+    """(doc_id, n_bytes, n_zlib_bytes, compression_ratio_pm): Gopher's
+    compression-ratio quality signal — highly repetitive/templated text
+    compresses far deeper than natural prose, so a large ratio marks
+    low-quality documents (Rae 2021 filters on exactly this). Ratio is
+    the integer per-mille ``n_bytes * 1000 div n_zlib_bytes``.
+
+    This is the repo's one deliberately non-SQL-expressible text signal
+    (zlib has no SQL form in either engine), so it carries NO oracle
+    entry: correctness is a pure-Python differential test instead
+    (tests/test_textops.py). Deterministic for a pinned zlib level — and
+    only LENGTHS are consumed, which are stable across zlib builds in
+    practice. Arrow-batched ``mapInPandas`` (one Python pass per batch,
+    never per-row UDF); NULL texts drop (text-operator contract)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_zlib_bytes", T.LongType()),
+            T.StructField("compression_ratio_pm", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {f.name: pd.Series(dtype="int64") for f in schema.fields}
+                )
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            nb = [len(b) for b in raw]
+            nz = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": nb,
+                    "n_zlib_bytes": nz,
+                    "compression_ratio_pm": [
+                        b * 1000 // z for b, z in zip(nb, nz)
+                    ],
+                }
+            )
+
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .mapInPandas(run, schema)
+    )
+
+
 def ccnet_buckets(docs: DataFrame, scale: int = 1_000_000) -> DataFrame:
     """CCNet-style per-language perplexity bucketing: docs split into
     head/middle/tail thirds by LM quality within their language, the

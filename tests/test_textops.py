@@ -459,3 +459,32 @@ def test_charset_profile_hand_computed(spark):
                   "n_replacement", "n_control"):
             assert int(row[c]) == got[d][c], (d, c)
         assert bool(row["charset_keep"]) == got[d]["charset_keep"], d
+
+
+def test_compression_ratio_differential_and_signal(spark):
+    """mapInPandas zlib ratios equal the direct pure-Python computation
+    row for row; repetitive text shows a far larger ratio than varied
+    text; NULL text drops; empty text is safe (zlib header > input)."""
+    import zlib
+
+    from sketchlib.textops import with_compression_ratio
+
+    rows = [
+        (0, "spam " * 400),
+        (1, "The quick brown fox jumps over the lazy dog near a riverbank."),
+        (2, ""),
+        (3, None),
+        (4, "Hé wörld \U0001f600 mixed unicode content with ünïcödé bytes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bytes"], r["n_zlib_bytes"], r["compression_ratio_pm"])
+           for r in with_compression_ratio(df).collect()}
+    assert 3 not in got
+    for d, t in rows:
+        if t is None:
+            continue
+        b = t.encode("utf-8")
+        z = zlib.compress(b, 6)
+        assert got[d] == (len(b), len(z), len(b) * 1000 // len(z)), d
+    assert got[0][2] > 5000           # heavy repetition: >5:1
+    assert got[1][2] < 1500           # natural prose: ~1:1 at this length
