@@ -830,6 +830,7 @@ _GATE_FRONT = [
     "curation_funnel_stats",         # per-stage survivor/token funnel
     "doc_charset_profile",           # script profiling + mojibake gate
     "host_crawl_priority",           # pagerank × quality crawl table
+    "export_manifest_shards",        # data-release verification manifest
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

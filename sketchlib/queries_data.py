@@ -349,6 +349,36 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     return f"{_pagerank_withs(iterations)}\nSELECT * FROM pr"
 
 
+def _manifest_oracle(n_shards: int = 16) -> str:
+    from sketchlib.textops import token_count_sql
+    from sketchlib.urlops import _md5i
+
+    shard = _md5i("duckdb", "'shard:' || CAST(doc_id AS VARCHAR)") + f" % {n_shards}"
+    h = _md5i("duckdb", "'c:' || text")
+    return f"""
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(bit_xor(h) AS BIGINT) AS content_xor
+FROM (SELECT CAST(({shard}) AS BIGINT) AS shard,
+             {token_count_sql('duckdb')} AS t, ({h}) AS h
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY 1
+"""
+
+
+@register("export_manifest_shards", _manifest_oracle())
+def export_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-release verification manifest (Dolma-style publishing):
+    per-shard doc/token counts plus an order-insensitive BIT_XOR content
+    checksum (overflow-free where an integer SUM of hash values is not).
+    One small-group aggregation, map-side combined; the companion
+    relops.export_sharded writes the shards + this manifest and the
+    pytest roundtrip proves read-back → recompute == manifest."""
+    from sketchlib.relops import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir))
+
+
 def _crawl_priority_oracle() -> str:
     from sketchlib.textops import classifier_score_sql
     from sketchlib.urlops import _md5i

@@ -591,3 +591,53 @@ def train_val_split(docs: DataFrame, val_pct: int = 5) -> DataFrame:
         f"CASE WHEN ({bucket}) < {int(val_pct)} THEN 'val' ELSE 'train' END AS split",
         f"CAST(({bucket}) AS BIGINT) AS split_bucket",
     )
+
+
+def shard_manifest(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """(shard, n_docs, n_tokens, content_xor): the verification manifest
+    of a sharded corpus release (Dolma-style data publishing: every shard
+    ships with counts + a content checksum so consumers can verify the
+    download). Shard assignment is the bit-portable md5 of doc_id;
+    content_xor is the BIT_XOR of per-doc md5-derived BIGINTs —
+    order-insensitive and overflow-free at any corpus size (a SUM of
+    2^52-bounded values overflows BIGINT past ~2k docs/shard at scale;
+    XOR never does). One n_shards-group aggregation, map-side combined.
+    NULL-text docs drop (the text-operator contract)."""
+    from sketchlib.textops import token_count_sql
+    from sketchlib.urlops import _md5i
+
+    shard = _md5i("spark", "'shard:' || CAST(doc_id AS STRING)") + f" % {int(n_shards)}"
+    h = _md5i("spark", "'c:' || text")
+    return (
+        docs.where(F.col("text").isNotNull())
+        .selectExpr(
+            f"CAST(({shard}) AS BIGINT) AS shard",
+            f"{token_count_sql('spark')} AS __t",
+            f"({h}) AS __h",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(sum(__t) AS BIGINT)").alias("n_tokens"),
+            F.expr("bit_xor(__h)").alias("content_xor"),
+        )
+    )
+
+
+def export_sharded(docs: DataFrame, out_dir: str, n_shards: int = 16) -> DataFrame:
+    """Publish the corpus as ``n_shards`` parquet directories
+    (``shard=N/``) plus a ``_manifest`` parquet beside them, and return
+    the manifest. The manifest is computed from the SAME relation that
+    was written, so a reader can recompute :func:`shard_manifest` over
+    the published files and compare — the release is self-verifying
+    (pytest proves write → read-back → recompute == manifest)."""
+    from sketchlib.urlops import _md5i
+
+    shard = _md5i("spark", "'shard:' || CAST(doc_id AS STRING)") + f" % {int(n_shards)}"
+    out = docs.where(F.col("text").isNotNull()).withColumn(
+        "shard", F.expr(f"CAST(({shard}) AS BIGINT)")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(f"{out_dir}/data")
+    manifest = shard_manifest(docs, n_shards)
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/_manifest")
+    return manifest

@@ -101,6 +101,7 @@ FUZZ_QUERIES = [
     "curation_funnel_stats",
     "doc_charset_profile",
     "host_crawl_priority",
+    "export_manifest_shards",
 ]
 
 #: astral-plane chars: Spark's UTF8String split('')/ascii() operate on

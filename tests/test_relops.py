@@ -603,3 +603,36 @@ def test_train_val_split_leakage_safe(spark):
     assert 20 <= n_val <= 140  # ~10% of 800, wide tolerance
     for s, b in out.values():
         assert (b < 10) == (s == "val") and 0 <= b < 100
+
+
+def test_export_sharded_self_verifying(spark, tmp_path):
+    """Publish → read back published files → recompute the manifest →
+    equal to the written manifest; shard column matches the assignment;
+    content_xor actually detects a flipped doc."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.relops import export_sharded, shard_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} with words") for i in range(200)] + [(999, None)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "release")
+    written = {r["shard"]: (r["n_docs"], r["n_tokens"], r["content_xor"])
+               for r in export_sharded(docs, out, n_shards=8).collect()}
+    back = spark.read.parquet(f"{out}/data")
+    assert back.count() == 200  # NULL-text doc excluded from the release
+    recomputed = {r["shard"]: (r["n_docs"], r["n_tokens"], r["content_xor"])
+                  for r in shard_manifest(back, n_shards=8).collect()}
+    assert recomputed == written
+    stored = {r["shard"]: (r["n_docs"], r["n_tokens"], r["content_xor"])
+              for r in spark.read.parquet(f"{out}/_manifest").collect()}
+    assert stored == written
+    # tamper detection: change one doc's text -> that shard's xor moves
+    tampered = back.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("evil")).otherwise(F.col("text"))
+    )
+    diff = {r["shard"]: r["content_xor"]
+            for r in shard_manifest(tampered, n_shards=8).collect()}
+    changed = [s for s in written if diff[s] != written[s][2]]
+    assert len(changed) == 1
