@@ -542,6 +542,42 @@ def main():
             ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
         ],
     )
+    from sketchlib.relops import shard_manifest
+    from sketchlib.textops import with_charset_profile, with_compression_ratio
+
+    show(
+        "charset profile (six regex classes, zero shuffle)",
+        with_charset_profile(docs),
+        checks=[
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("whole-stage codegen", lambda p: "*(1)" in p),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+    show(
+        "compression ratio (one Arrow-batched python pass, zero shuffle)",
+        with_compression_ratio(docs),
+        checks=[
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("exactly one MapInPandas", lambda p: p.count("MapInPandas") == 1),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+    show(
+        "shard manifest (one small-group agg, map-side combined)",
+        shard_manifest(docs),
+        checks=[
+            ("map-side partials",
+             lambda p: "partial_count" in p and "partial_sum" in p),
+            ("one exchange keyed on shard",
+             lambda p: p.count("Exchange hashpartitioning") == 1
+             and re.search(r"hashpartitioning\(shard#\d+", p) is not None),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
     from sketchlib.webpipe import web_curation_pipeline
 
     show(
