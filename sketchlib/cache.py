@@ -107,19 +107,39 @@ def ensure_cached(
             os.path.exists(os.path.join(path, e)) for e in expect
         )
 
+    def _dir_valid(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS")) and all(
+            os.path.exists(os.path.join(d, e)) for e in expect
+        )
+
     if _valid():
         return path
     if os.path.exists(path):
-        # a dir exists but is invalid — no _SUCCESS (writer that skipped
-        # the marker, or success-marker conf disabled) or a missing
-        # expected child: quarantine it so the publish below can land
-        # instead of wedging forever (ADVICE r5, r6 partial-publish)
+        # a dir exists but LOOKED invalid — no _SUCCESS (writer that
+        # skipped the marker, or success-marker conf disabled) or a
+        # missing expected child: quarantine it so the publish below can
+        # land instead of wedging forever (ADVICE r5, r6 partial-publish).
+        # The validity check above is a stale observation by the time the
+        # rename lands (TOCTOU): a concurrent builder may have published
+        # a VALID dir in between, and acting on the stale check would
+        # delete its publication — the one thing the atomic-publish
+        # invariant forbids. So re-verify AFTER the atomic claim and put
+        # a dir that turned out valid straight back.
         quarantine = f"{path}.markerless-{uuid.uuid4().hex}"
         try:
             os.rename(path, quarantine)
         except OSError:
             pass  # a concurrent builder already moved/published it
-        shutil.rmtree(quarantine, ignore_errors=True)
+        else:
+            if _dir_valid(quarantine):
+                try:
+                    os.rename(quarantine, path)
+                    return path
+                except OSError:
+                    # a third publication landed at path meanwhile; the
+                    # end-of-function validity check covers it
+                    pass
+            shutil.rmtree(quarantine, ignore_errors=True)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     try:

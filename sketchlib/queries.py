@@ -831,6 +831,10 @@ _GATE_FRONT = [
     "doc_charset_profile",           # script profiling + mojibake gate
     "host_crawl_priority",           # pagerank × quality crawl table
     "export_manifest_shards",        # data-release verification manifest
+    # gate code changed this round (ensure_cached expect= validation) —
+    # the rotation rule says changed code needs a fresh driver green
+    "ann_ivf_topk",
+    "ann_ivf_topk_clustered",
 ]
 _GATE_DEFERRED = [
     # r5-front entries with FRESH r5 driver greens and unchanged code —

@@ -160,7 +160,14 @@ def incremental_paragraph_dedup_sink(
     the batch :func:`sketchlib.dedup.paragraph_dedup` over the
     concatenated input (parity-tested); under arbitrary arrival order the
     first ARRIVAL wins instead of the smallest (doc_id, pos) — the
-    streaming-semantics difference, documented not hidden."""
+    streaming-semantics difference, documented not hidden.
+
+    The replay guard is tied to the STREAM's epoch counter: resuming must
+    reuse the original checkpointLocation. Restarting with a fresh
+    checkpoint against an old ``state_dir`` restarts epochs at 0, so
+    every batch would skip as a "replay" — the sink emits a loud
+    RuntimeWarning for that signature (epoch strictly below the
+    committed one) instead of dropping data silently."""
     import shutil
 
     from pyspark.sql import Window
@@ -178,6 +185,26 @@ def incremental_paragraph_dedup_sink(
             with open(epoch_path) as f:
                 commit = json.load(f)
         if commit is not None and epoch_id <= commit["epoch"]:
+            if epoch_id < commit["epoch"]:
+                # a genuine same-checkpoint replay only re-delivers the
+                # LAST epoch (epoch_id == commit.epoch). A strictly older
+                # epoch is the restart-with-a-FRESH-checkpoint signature:
+                # foreachBatch epochs restart at 0 against the old
+                # state_dir and every batch would be silently dropped —
+                # make the skip loud instead of silent
+                import warnings
+
+                warnings.warn(
+                    f"paragraph-dedup sink skipping epoch {epoch_id} < "
+                    f"committed {commit['epoch']}: if this stream was "
+                    "restarted with a fresh checkpointLocation against an "
+                    "existing state_dir, its epoch ids restart at 0 and "
+                    "EVERY batch will be skipped as a replay. Keep the "
+                    "original checkpoint, or point the sink at a fresh "
+                    "state_dir.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             return  # replayed micro-batch: output + state already committed
         spark = batch_df.sparkSession
         paras = paragraph_table(batch_df)

@@ -148,9 +148,10 @@ def with_canonical_url(df: DataFrame, col: str = "url") -> DataFrame:
     return out.drop("__scheme", "__hostport", "__pathq", "__host", "__path", "__cq")
 
 
-def canonical_url_cte_sql(dialect: str, source_sql: str) -> str:
+def canonical_url_cte_sql(dialect: str, source_sql: str) -> tuple[str, str]:
     """``WITH``-chain mirror of :func:`with_canonical_url` for oracles:
-    ``source_sql`` must yield (doc_id, url)."""
+    ``source_sql`` must yield (doc_id, url). Returns (WITH-prefix,
+    final-CTE name) — the html_cte_sql shape."""
     stages = canonical_url_stages(dialect)
     ctes, prev = [f"u0 AS ({source_sql})"], "u0"
     for i, stage in enumerate(stages, start=1):

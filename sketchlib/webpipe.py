@@ -40,30 +40,46 @@ from sketchlib.urlops import (
 )
 
 
-def pipeline_stages(spark: SparkSession, docs: DataFrame) -> dict[str, DataFrame]:
+def pipeline_stages(
+    spark: SparkSession, docs: DataFrame, materialize: bool = False
+) -> dict[str, DataFrame]:
     """The pipeline's intermediates, one (doc_id, text)-bearing relation
     per stage boundary — the pipeline itself consumes ``dedup``; the
     funnel-accounting query consumes all of them. Text per stage is the
     text the NEXT stage would consume: raw document text through the
     id-level stages, extracted block text after the classifier, the
-    deduped reassembly at the end."""
-    u = with_canonical_url(with_synth_url(docs)).select("doc_id", "canonical_url")
-    keepers = (
+    deduped reassembly at the end.
+
+    ``materialize=True`` (the funnel's mode) eagerly localCheckpoints
+    every relation referenced by more than one downstream branch, so the
+    five funnel aggregates execute each stage subtree ONCE — the
+    CLAUDE.md fan-out rule; without it the url-canonicalize subtree runs
+    ~5× and the extraction+classifier subtree ~3× inside one action. The
+    single-consumer ``__final`` chain leaves it False: every relation
+    there is a prefix of one plan and checkpointing would only add
+    materialization cost."""
+    ck = (
+        (lambda df: df.localCheckpoint(eager=True)) if materialize else (lambda df: df)
+    )
+    u = ck(with_canonical_url(with_synth_url(docs)).select("doc_id", "canonical_url"))
+    keepers = ck(
         u.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
     hosts = u.join(keepers, "doc_id", "left_semi").select(
         "doc_id", F.regexp_extract("canonical_url", HOST_RX, 1).alias("host")
     )
-    surv_ids = hosts.join(
-        F.broadcast(spark.sql(blocklist_sql("spark"))), "host", "left_anti"
-    ).select("doc_id")
-    base = docs.where(F.col("text").isNotNull()).select("doc_id", "text")
+    surv_ids = ck(
+        hosts.join(
+            F.broadcast(spark.sql(blocklist_sql("spark"))), "host", "left_anti"
+        ).select("doc_id")
+    )
+    base = ck(docs.where(F.col("text").isNotNull()).select("doc_id", "text"))
     kept_url = base.join(keepers, "doc_id", "left_semi")
-    surv = base.join(surv_ids, "doc_id", "left_semi")
+    surv = ck(base.join(surv_ids, "doc_id", "left_semi"))
     blocks = with_extracted_blocks(with_synth_html(surv)).select(
         "doc_id", F.col("block_text").alias("text")
     )
-    kept = (
+    kept = ck(
         with_classifier_score(blocks)
         .where(F.col("quality_keep"))
         .select("doc_id", "text")
@@ -95,11 +111,13 @@ def curation_funnel(spark: SparkSession, docs: DataFrame) -> DataFrame:
     observability table every production pipeline reports; stage ids
     sort lexicographically). Each row is a global aggregate of one stage
     relation; at any corpus size this is five counting passes whose
-    exchanges carry one partial row per task."""
+    exchanges carry one partial row per task. Runs the stage builder in
+    materialize mode — the shared subtrees execute once, not once per
+    branch."""
     from sketchlib.textops import token_count_sql
 
     tok = token_count_sql("spark")
-    stages = pipeline_stages(spark, docs)
+    stages = pipeline_stages(spark, docs, materialize=True)
     outs = []
     for stage, df in stages.items():
         if stage == "__final":

@@ -253,3 +253,36 @@ def test_ensure_cached_expect_heals_partial_publish(tmp_path):
 
     with pytest.raises(RuntimeError, match="expected child"):
         ensure_cached(bad_path, bad, expect=("index", "index_centroids"))
+
+
+def test_ensure_cached_quarantine_never_deletes_concurrent_valid_publish(
+    tmp_path, monkeypatch
+):
+    """TOCTOU seam: a concurrent builder publishes a VALID dir between
+    our staleness check and the quarantine rename — the claimed dir is
+    re-verified AFTER the atomic rename and restored, never deleted, and
+    our writer does not run (first publisher wins)."""
+    import sketchlib.cache as cache
+
+    path = str(tmp_path / "c")
+    os.makedirs(os.path.join(path, "index"))  # stale partial: no marker
+    real_rename = os.rename
+    armed = {"on": True}
+
+    def racy_rename(src, dst):
+        if armed["on"] and src == path:
+            armed["on"] = False
+            # the concurrent publisher completes path just before our claim
+            open(os.path.join(path, "_SUCCESS"), "w").close()
+            os.makedirs(os.path.join(path, "index_centroids"))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(cache.os, "rename", racy_rename)
+    calls = []
+    out = cache.ensure_cached(
+        path, lambda t: calls.append(t), expect=("index", "index_centroids")
+    )
+    assert out == path and calls == []
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert os.path.exists(os.path.join(path, "index_centroids"))
+    assert not [d for d in os.listdir(tmp_path) if "markerless" in d]
