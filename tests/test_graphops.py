@@ -63,3 +63,30 @@ def test_host_edges_fixture_cross_engine(spark):
     want = sorted(con.sql(host_edges_sql("duckdb")).fetchall())
     assert got == want and len(got) == len(ids) - 1
     spark.catalog.dropTempView("documents")
+
+
+def test_pagerank_randomized_differential(spark):
+    """Five seeded random weighted digraphs (self-loops, dangling nodes,
+    multi-edges pre-folded, isolated receivers): Spark equals the
+    pure-Python recurrence exactly on every node, at two iteration
+    depths."""
+    import numpy as np
+
+    from sketchlib.graphops import pagerank
+
+    rng = np.random.default_rng(2026)
+    for trial in range(5):
+        n = int(rng.integers(5, 30))
+        m = int(rng.integers(n, 4 * n))
+        raw = {}
+        for _ in range(m):
+            s, d = int(rng.integers(0, n)), int(rng.integers(0, n))
+            w = int(rng.integers(1, 9))
+            raw[(f"v{s}", f"v{d}")] = raw.get((f"v{s}", f"v{d}"), 0) + w
+        edges = [(s, d, w) for (s, d), w in sorted(raw.items())]
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        for iters in (1, 3):
+            got = {r["host"]: (r["pagerank_q"], r["out_weight"])
+                   for r in pagerank(df, iterations=iters).collect()}
+            want_r, want_ow = _hand_pagerank(edges, iterations=iters)
+            assert got == {k: (want_r[k], want_ow[k]) for k in want_r}, (trial, iters)
