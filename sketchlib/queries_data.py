@@ -112,19 +112,40 @@ def doc_bpe_real_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_ids_oracle() -> str:
     from sketchlib.bpe import bpe_ids_oracle_sql
 
-    return bpe_ids_oracle_sql()
+    # COALESCE: DuckDB array_to_string([]) is NULL (string_agg-over-zero-
+    # rows semantics) where Spark concat_ws yields '' — empty docs must
+    # serialize as '' in both engines (fuzz-gate finding, r7)
+    return (
+        "SELECT doc_id, "
+        "COALESCE(array_to_string(list_transform(token_ids, "
+        "x -> CAST(x AS VARCHAR)), ','), '') AS token_ids_csv, "
+        "CAST(len(token_ids) AS BIGINT) AS n_tokens "
+        f"FROM ({bpe_ids_oracle_sql()})"
+    )
 
 
 @register("doc_bpe_token_ids", _bpe_ids_oracle())
 def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL real-BPE encoding (doc_id, token_ids array<int>) — the
-    column a packing/training job actually consumes. Same vectorized batch
-    kernel as doc_bpe_real_token_count; the oracle slices the anchor-code
-    string back into codes and parses each 4-hex payload as the id
-    (list_transform over regexp_extract_all)."""
+    """The FULL real-BPE encoding — the column a packing/training job
+    actually consumes. Same vectorized batch kernel as
+    doc_bpe_real_token_count; the oracle slices the anchor-code string
+    back into codes and parses each 4-hex payload as the id.
+
+    Gate shape (VERDICT r6 #1): the library API returns
+    (doc_id, token_ids array<int>), but the driver's canonicalizer cannot
+    hash list cells, so the GATE entry serializes the ids to an
+    engine-exact CSV scalar (integer→string cast is bit-portable) plus
+    the length. Every id is value-checked — nothing is lost vs the array
+    form; the array stays the library deliverable (bpe.bpe_token_ids)."""
     from sketchlib.bpe import bpe_token_ids
 
-    return bpe_token_ids(_docs(spark, sf_dir))
+    return bpe_token_ids(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.expr(
+            "concat_ws(',', transform(token_ids, x -> CAST(x AS STRING)))"
+        ).alias("token_ids_csv"),
+        F.expr("CAST(size(token_ids) AS BIGINT)").alias("n_tokens"),
+    )
 
 
 def _pack_bpe_oracle() -> str:
@@ -170,7 +191,10 @@ seg AS (SELECT b, greatest(start, b * {b}) - b * {b} AS pos,
                           least(start + n, (b + 1) * {b}) - start) AS piece
         FROM c, UNNEST(range(start // {b}, (start + n - 1) // {b} + 1)) AS u(b)
         WHERE n > 0)
-SELECT b AS bin_id, flatten(list(piece ORDER BY pos)) AS token_ids,
+SELECT b AS bin_id,
+       COALESCE(array_to_string(list_transform(flatten(list(piece ORDER BY pos)),
+                                               x -> CAST(x AS VARCHAR)), ','),
+                '') AS token_ids_csv,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(piece)) AS BIGINT) AS n_tokens
 FROM seg GROUP BY 1
@@ -190,11 +214,23 @@ def pack_batches_bpe_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat-then-chunk order, each bin exactly 1024 ids (last ragged),
     straddling docs split across neighbouring bins. Engine-exact integer
     ids end to end; the oracle rebuilds the same layout with a window
-    cumsum and fills bins with list_slice + ordered list aggregation."""
+    cumsum and fills bins with list_slice + ordered list aggregation.
+
+    Gate shape (VERDICT r6 #1): the library API (textops.pack_batches)
+    returns the bins as array<int>; the gate serializes each bin to an
+    engine-exact CSV scalar so the driver canon can hash it — every id
+    in every bin is still value-checked in order."""
     from sketchlib.bpe import bpe_token_ids
     from sketchlib.textops import pack_batches
 
-    return pack_batches(bpe_token_ids(_docs(spark, sf_dir)), budget=1024)
+    return pack_batches(bpe_token_ids(_docs(spark, sf_dir)), budget=1024).select(
+        "bin_id",
+        F.expr(
+            "concat_ws(',', transform(token_ids, x -> CAST(x AS STRING)))"
+        ).alias("token_ids_csv"),
+        "n_docs",
+        "n_tokens",
+    )
 
 
 _CLASSIFIER_ORACLE_TMPL = (
@@ -590,9 +626,16 @@ def _html_links_oracle() -> str:
     from sketchlib.textops import _rx
 
     lit = _rx("duckdb", _HREF_RX)
+    # DuckDB array_to_string is NULL for BOTH a NULL list and an empty
+    # list (string_agg semantics); Spark's guarded concat_ws yields NULL
+    # for NULL hrefs but '' for zero matches — the CASE + COALESCE pins
+    # NULL html → NULL, zero links → '' in both engines
     return (
         f"WITH p AS ({_html_source_sql()}) "
-        f"SELECT doc_id, regexp_extract_all(html, {lit}, 1) AS hrefs, "
+        f"SELECT doc_id, "
+        f"CASE WHEN html IS NULL THEN NULL ELSE "
+        f"COALESCE(array_to_string(regexp_extract_all(html, {lit}, 1), chr(31)), '') "
+        f"END AS hrefs_joined, "
         f"CAST(len(regexp_extract_all(html, {lit}, 1)) AS BIGINT) AS n_links FROM p"
     )
 
@@ -600,12 +643,26 @@ def _html_links_oracle() -> str:
 @register("html_extract_links", _html_links_oracle())
 def html_extract_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction (the web-graph edge stage): href values in
-    document order as an array value — zero-shuffle projection, no
-    explode; the graph build downstream joins on the canonicalized
-    target, not here."""
+    document order — zero-shuffle projection, no explode; the graph
+    build downstream joins on the canonicalized target, not here.
+
+    Gate shape (VERDICT r6 #1): the library API
+    (htmlops.html_extract_links) returns hrefs as array<string>; the gate
+    joins them on an unencodable separator (chr(31) — cannot appear in an
+    href attribute value extracted by the regex, which excludes '"' only,
+    but the SAME serialization runs in both engines so even a separator
+    collision is order-exact). NULL html (NULL doc_id/text) stays NULL on
+    both sides via the explicit guard."""
     from sketchlib.htmlops import html_extract_links
 
-    return html_extract_links(_docs(spark, sf_dir))
+    hj = F.concat_ws("\x1f", F.col("hrefs"))
+    return html_extract_links(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.when(F.col("hrefs").isNull(), F.lit(None).cast("string"))
+        .otherwise(hj)
+        .alias("hrefs_joined"),
+        "n_links",
+    )
 
 
 _LM_ORACLE = """
@@ -2127,10 +2184,10 @@ g AS (SELECT b.doc_id, b.n, r.bin
       FROM b CROSS JOIN (SELECT unnest(range(16)) AS bin) r),
 j AS (SELECT g.doc_id, g.bin, g.n, COALESCE(h.c, 0) AS c
       FROM g LEFT JOIN h ON g.doc_id = h.doc_id AND g.bin = h.bin)
-SELECT doc_id,
-       list(CAST(CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / n ELSE 0.0 END AS REAL)
-            ORDER BY bin) AS features
-FROM j GROUP BY doc_id
+SELECT doc_id, CAST(bin AS INT) AS bin,
+       CAST(CASE WHEN n > 0 THEN CAST(c AS DOUBLE) / n ELSE 0.0 END AS REAL)
+       AS feature
+FROM j
 """
 
 
@@ -2140,12 +2197,21 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-histogram extractor (one np.add.at scatter per Arrow batch — no
     per-payload Python loop; the batch mechanics are exactly a model-
     embedding UDF's). Oracle re-derives the histogram from hex-sliced
-    payload bytes and reproduces the float32 normalization bit-for-bit."""
+    payload bytes and reproduces the float32 normalization bit-for-bit.
+
+    Gate shape (VERDICT r6 #1): the library API returns features as
+    array<float>; the driver canon cannot hash list cells, so the gate
+    POSEXPLODES to (doc_id, bin, feature) scalar float32 rows — every
+    component is still compared BITWISE (the stronger per-value check; a
+    CSV of floats would need a lossy or engine-specific rendering)."""
     from sketchlib.multimodal import attach_payload, extract_features
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     with_payload = attach_payload(docs).select("doc_id", "payload")
-    return extract_features(with_payload, dim=16)
+    feats = extract_features(with_payload, dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "feature")
+    )
 
 
 _PRIORITY_ORACLE = (

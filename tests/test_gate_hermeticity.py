@@ -114,6 +114,50 @@ def test_registry_has_no_shared_mutable_paths():
     )
 
 
+def test_registry_outputs_are_driver_hashable(spark, sf_dir):
+    """Registry-wide schema lint (VERDICT r6 #2): the driver's
+    canonicalizer sorts result cells with pandas, which cannot hash
+    list/dict cells — a gate entry returning ArrayType/MapType/StructType
+    is a guaranteed driver `err` row (the r6 failure class: 4 red rows,
+    all `unhashable type: 'list'`). Every queries() entry must emit only
+    scalar columns; library APIs keep their array forms, gate entries
+    serialize (CSV for engine-exact integers/strings, posexplode for
+    floats needing bitwise comparison)."""
+    from pyspark.sql import types as T
+
+    from sketchlib.queries import queries
+
+    offenders: dict[str, list[str]] = {}
+    for name, fn in queries().items():
+        bad = [
+            f.name
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, (
+        "gate entries with container-typed output columns (the driver canon "
+        f"cannot hash them — serialize to scalars): {offenders}"
+    )
+
+
+def test_replica_rejects_container_typed_outputs():
+    """The replica must reject whatever the driver cannot hash (the
+    recurring 'replica ≥ driver strictness' rule, container-type
+    dimension): check_oracles flags an array-typed result as a failure
+    even when both engines produce identical arrays."""
+    import pyarrow as pa
+
+    from check_oracles import container_types, value_hash
+
+    tbl = pa.table({"k": [1], "v": pa.array([[1, 2]], type=pa.list_(pa.int32()))})
+    res = value_hash(tbl)
+    assert container_types(res[2]) == ["array<int32>"]
+    scalar = pa.table({"k": [1]})
+    assert container_types(value_hash(scalar)[2]) == []
+
+
 def test_concurrent_sink_runs_do_not_corrupt(spark, sf_dir):
     """Two simultaneous runs of the CSV sink roundtrip must both return
     the exact aggregate — with run-scoped unique dirs there is no shared

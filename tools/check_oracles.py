@@ -141,6 +141,14 @@ def value_hash(df) -> tuple[int, tuple, tuple, str]:
     return len(pdf), tuple(pdf.columns), types, h
 
 
+def container_types(types) -> list[str]:
+    """Canonical type tokens the DRIVER's canonicalizer cannot hash
+    (pandas sort_values raises `unhashable type` on list/dict cells —
+    the r6 4-red-row failure class). The replica fails such results even
+    when both engines agree (replica ≥ driver strictness, VERDICT r6 #2)."""
+    return [t for t in types if t.startswith(("array<", "struct<", "map<"))]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -164,6 +172,12 @@ def main():
         if only and name not in only:
             continue
         spark_res = value_hash(fn(spark, sf_dir))
+        bad = container_types(spark_res[2])
+        if bad:
+            failures += 1
+            print(f"  ✗ {name}: CONTAINER-TYPED output {bad} — the driver "
+                  "canon cannot hash it; serialize to scalars")
+            continue
         if name not in oracles:
             print(f"  ~ {name}: rows={spark_res[0]} (no oracle — rows-only check)")
             continue
