@@ -131,34 +131,64 @@ def pagerank(edge_df: DataFrame, iterations: int = 3) -> DataFrame:
     )
 
 
+def _crawl_stats_build(docs: DataFrame) -> DataFrame:
+    """The ONE corpus-sized stage of :func:`host_crawl_priority`, split
+    out pre-checkpoint so tools/explain_plans.py can assert its shape
+    (the textops._pack_layout precedent): a single documents scan
+    projecting (src, dst, classifier score), aggregated by (src, dst)
+    with map-side partial count/count/sum. The classifier NULL contract
+    rides along as a NULL score (NULL text → NULL ``__q``), so edge
+    weights count ALL pages (doc_id contract) while quality stats count
+    only scoreable pages — exactly the two relations the r6 version
+    derived from two separate corpus scans (VERDICT r6 #4)."""
+    from sketchlib.textops import classifier_score_sql
+
+    s = _s("spark")
+    src = _md5i("spark", f"'url-base:' || CAST(doc_id AS {s})") + " % 200"
+    dst = _md5i("spark", f"'html-base:' || CAST(doc_id AS {s})") + " % 40"
+    return (
+        docs.where(F.col("doc_id").isNotNull())
+        .selectExpr(
+            f"'h' || CAST(({src}) % 40 AS STRING) || '.example.com' AS src",
+            f"'h' || CAST(({dst}) AS STRING) || '.example.com' AS dst",
+            f"{classifier_score_sql('spark')} AS __q",
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.count("__q").alias("__nq"),
+            F.sum("__q").alias("__sq"),
+        )
+    )
+
+
 def host_crawl_priority(docs: DataFrame, iterations: int = 3) -> DataFrame:
     """(host, pagerank_q, out_weight, n_docs, sum_quality): the
     crawl-scheduling table — host centrality (PageRank over the link
     graph) joined with the host's corpus footprint and total classifier
     quality (Common Crawl publishes exactly this pairing: harmonic-rank
     lists consumed next to per-domain content stats). Hosts with pages
-    whose text all fails the classifier's NULL contract drop (inner
-    join, documented). ``sum_quality`` stays a raw signed BIGINT — no
-    avg here: integer division of signed sums is the div-vs-floor
-    cross-engine trap (CLAUDE.md); consumers divide in one engine.
+    whose text all fails the classifier's NULL contract drop
+    (``n_docs > 0`` filter ≡ the previous inner join). ``sum_quality``
+    stays a raw signed BIGINT — no avg here: integer division of signed
+    sums is the div-vs-floor cross-engine trap (CLAUDE.md); consumers
+    divide in one engine.
 
-    Scale shape: the quality side is one host-keyed aggregation with
-    map-side partial count/sum (hosts on the wire, not docs); the join
-    is host-cardinality × host-cardinality."""
-    from sketchlib.textops import classifier_score_sql
-    from sketchlib.urlops import _md5i
-
-    src = _md5i("spark", "'url-base:' || CAST(doc_id AS STRING)") + " % 200"
+    Scale shape (VERDICT r6 #4): ONE documents scan feeds both the edge
+    weights and the quality stats — a single (src, dst)-keyed map-side-
+    combined aggregation is eagerly localCheckpointed (the fan-out rule)
+    and re-aggregated two ways: edges = (src, dst, w) into pagerank,
+    quality = src-keyed rollup of the per-pair partials. The exchange
+    carries ~distinct host pairs per map partition; everything after the
+    checkpoint is host-cardinality."""
+    g = _crawl_stats_build(docs).localCheckpoint(eager=True)
+    edges = g.select("src", "dst", "w")
     hq = (
-        docs.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .selectExpr(
-            f"'h' || CAST(({src}) % 40 AS STRING) || '.example.com' AS host",
-            f"{classifier_score_sql('spark')} AS __q",
-        )
-        .groupBy("host")
+        g.groupBy(F.col("src").alias("host"))
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr("CAST(sum(__q) AS BIGINT)").alias("sum_quality"),
+            F.expr("CAST(sum(__nq) AS BIGINT)").alias("n_docs"),
+            F.expr("CAST(sum(__sq) AS BIGINT)").alias("sum_quality"),
         )
+        .where(F.col("n_docs") > 0)
     )
-    return host_pagerank(docs, iterations).join(hq, "host")
+    return pagerank(edges, iterations).join(hq, "host")

@@ -624,6 +624,26 @@ def main():
              lambda p: "CartesianProduct" not in p and "NestedLoop" not in p),
         ],
     )
+    from sketchlib.graphops import _crawl_stats_build
+
+    show(
+        # VERDICT r6 #4: edge weights AND quality stats come from ONE
+        # documents scan — the pre-checkpoint builder (the checkpoint in
+        # host_crawl_priority hides this shape, _pack_layout precedent)
+        "crawl-priority stats build (one corpus scan feeds edges + quality)",
+        _crawl_stats_build(docs),
+        checks=[
+            ("exactly one corpus scan",
+             lambda p: p.count("FileScan parquet") == 1),
+            ("scan prunes to doc_id+text (classifier needs text)",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+            ("map-side partial agg (exchange carries host pairs, not pages)",
+             lambda p: "partial_count" in p),
+            ("one exchange keyed on (src, dst)",
+             lambda p: p.count("Exchange hashpartitioning") == 1
+             and re.search(r"hashpartitioning\(src#\d+, dst#\d+", p) is not None),
+        ],
+    )
     from sketchlib.textops import top_terms, with_pii_scrub
 
     show(
