@@ -348,12 +348,18 @@ def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_val_split(_docs(spark, sf_dir))
 
 
-def _pagerank_withs(iterations: int = 3) -> str:
+def _pagerank_withs(
+    iterations: int = 3, e0_sql: str | None = None, pre_ctes: str = ""
+) -> str:
+    """The quantized-PageRank CTE chain over any ``e0`` edge relation
+    (one (src, dst) row per link): default is the md5 host fixture;
+    ``e0_sql`` swaps in a derived edge source whose own namespaced CTEs
+    ride in via ``pre_ctes`` (the _webpipe_ctes composition discipline)."""
     from sketchlib.graphops import DAMP_DEN, DAMP_NUM, RANK_SCALE, host_edges_sql
 
     base = DAMP_DEN - DAMP_NUM
-    ctes = [
-        f"e0 AS ({host_edges_sql('duckdb')})",
+    ctes = ([pre_ctes] if pre_ctes else []) + [
+        f"e0 AS ({e0_sql or host_edges_sql('duckdb')})",
         "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY 1, 2)",
         "deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1)",
         "nodes AS (SELECT n.host, CAST(coalesce(d.ow, 0) AS BIGINT) AS out_weight"
@@ -383,6 +389,52 @@ def _pagerank_withs(iterations: int = 3) -> str:
 
 def _pagerank_oracle(iterations: int = 3) -> str:
     return f"{_pagerank_withs(iterations)}\nSELECT * FROM pr"
+
+
+def _link_pagerank_oracle(iterations: int = 3) -> str:
+    """Links→edges→ranks end to end: the canonical-url CTE chain derives
+    each page's src host, the synthetic-html CTE + regexp_extract_all
+    derives its hrefs, link resolution (absolute → href host, relative →
+    page host) builds e0, and the shared pagerank chain replays the
+    identical quantized recurrence."""
+    from sketchlib.graphops import ABS_HREF_RX
+    from sketchlib.htmlops import _HREF_RX, synth_html_sql
+    from sketchlib.textops import _rx
+    from sketchlib.urlops import HOST_RX, canonical_url_cte_sql
+
+    url_withs, url_last = canonical_url_cte_sql("duckdb", _url_source_sql())
+    href_lit = _rx("duckdb", _HREF_RX)
+    html_src = (
+        f"SELECT doc_id, {synth_html_sql('duckdb')} AS html "
+        "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL"
+    )
+    pre = (
+        f"{url_withs[len('WITH '):]},\n"
+        f"lk_src AS (SELECT doc_id,"
+        f" regexp_extract(canonical_url, '{HOST_RX}', 1) AS src"
+        f" FROM {url_last}),\n"
+        f"lk_html AS ({html_src}),\n"
+        f"lk_href AS (SELECT doc_id,"
+        f" unnest(regexp_extract_all(html, {href_lit}, 1)) AS href FROM lk_html)"
+    )
+    e0 = (
+        "SELECT s.src, CASE WHEN regexp_matches(h.href, '^https?://') "
+        f"THEN lower(regexp_extract(h.href, '{ABS_HREF_RX}', 1)) "
+        "ELSE s.src END AS dst FROM lk_href h JOIN lk_src s USING (doc_id)"
+    )
+    return f"{_pagerank_withs(iterations, e0_sql=e0, pre_ctes=pre)}\nSELECT * FROM pr"
+
+
+@register("web_link_pagerank", _link_pagerank_oracle())
+def web_link_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank from EXTRACTED outlinks end to end (VERDICT r6 #5):
+    synth page → href extraction → link resolution (absolute → its own
+    host, relative → the page's canonical host) → (src, dst) edge agg →
+    the quantized fixed-point recurrence. One corpus-sized projection +
+    one (src, dst) exchange; iterations touch only the host graph."""
+    from sketchlib.graphops import link_pagerank
+
+    return link_pagerank(_docs(spark, sf_dir))
 
 
 def _manifest_oracle(n_shards: int = 16) -> str:

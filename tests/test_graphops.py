@@ -65,6 +65,36 @@ def test_host_edges_fixture_cross_engine(spark):
     spark.catalog.dropTempView("documents")
 
 
+def test_link_host_edges_resolution(spark, sf_dir):
+    """The extracted-link edge build resolves hrefs the way the fixture
+    dictates: every page contributes exactly one absolute edge (to its
+    md5 outlink host) and one relative link resolving to the page's own
+    canonical host (a self-edge). So, vs the md5-shortcut host_graph
+    over the same pages: off-diagonal weights are identical, and each
+    diagonal weight exceeds the shortcut's by the host's page count
+    (= the shortcut's out-weight, one absolute link per page)."""
+    from pyspark.sql import functions as F
+
+    from sketchlib.graphops import host_graph, link_host_edges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    derived = {
+        (r["src"], r["dst"]): r["w"] for r in link_host_edges(docs).collect()
+    }
+    shortcut = {
+        (r["src"], r["dst"]): r["w"] for r in host_graph(pages).collect()
+    }
+    assert sum(derived.values()) == 2 * pages.count()
+    pages_on_host = {}
+    for (s, _), w in shortcut.items():
+        pages_on_host[s] = pages_on_host.get(s, 0) + w
+    expected = dict(shortcut)
+    for s, n in pages_on_host.items():
+        expected[(s, s)] = expected.get((s, s), 0) + n
+    assert derived == expected
+
+
 def test_pagerank_randomized_differential(spark):
     """Five seeded random weighted digraphs (self-loops, dangling nodes,
     multi-edges pre-folded, isolated receivers): Spark equals the
