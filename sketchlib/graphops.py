@@ -18,8 +18,10 @@ PageRank variant (stated precisely so the oracle replays it):
     deterministic, all operands non-negative so Spark ``div`` ≡ DuckDB
     ``//``);
   - fixed K iterations (no convergence test — the plan is static);
-  - dangling mass is NOT redistributed (the common simplification; a
-    host with no outlinks keeps contributing nothing).
+  - dangling mass is NOT redistributed by default (the common
+    simplification; a host with no outlinks keeps contributing
+    nothing); ``redistribute_dangling=True`` selects the published
+    variant — see :func:`pagerank`.
 
 Scale shape: ALL corpus-sized work is the one edge aggregation —
 groupBy (src, dst) with map-side partial counts, so the exchange carries
@@ -89,10 +91,23 @@ def host_pagerank(docs: DataFrame, iterations: int = 3) -> DataFrame:
     return pagerank(host_graph(docs), iterations)
 
 
-def pagerank(edge_df: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank(
+    edge_df: DataFrame, iterations: int = 3, redistribute_dangling: bool = False
+) -> DataFrame:
     """The iteration core over any weighted edge list ``(src, dst, w)``
     (hosts here, but nothing host-specific): see module docstring for the
-    exact quantized recurrence."""
+    exact quantized recurrence.
+
+    ``redistribute_dangling=True`` switches to the variant real host-rank
+    pipelines publish (the original PageRank treatment): each iteration,
+    the total rank held by dangling nodes (``out_weight = 0``) is split
+    evenly across ALL nodes before damping —
+    ``r'(v) = 150000 + 85 * (S(v) + D div N) div 100`` with
+    ``D = Σ_{out(u)=0} r(u)`` and ``N`` the node count; the per-node
+    share uses one floor division on non-negative BIGINTs, so the
+    variant stays engine-exact. Scale shape is unchanged: ``D`` is a
+    one-row aggregate over the (host-cardinality) rank relation, joined
+    back by broadcast — no extra corpus work, no extra rank exchange."""
     edges = edge_df.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     nodes = (
@@ -109,6 +124,9 @@ def pagerank(edge_df: DataFrame, iterations: int = 3) -> DataFrame:
         .selectExpr("src", "dst", "CAST(w AS BIGINT) AS w", "CAST(ow AS BIGINT) AS ow")
         .localCheckpoint(eager=True)
     )
+    if redistribute_dangling:
+        dangling = nodes.where(F.col("out_weight") == 0).select("host")
+        n_nodes = nodes.count()  # bounded: host cardinality, one scalar
     ranks = nodes.selectExpr("host", f"CAST({RANK_SCALE} AS BIGINT) AS r")
     for _ in range(iterations):
         contrib = (
@@ -117,15 +135,22 @@ def pagerank(edge_df: DataFrame, iterations: int = 3) -> DataFrame:
             .groupBy("dst")
             .agg(F.expr("CAST(sum(c) AS BIGINT)").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
-            .selectExpr(
-                "host",
-                f"CAST({DAMP_DEN - DAMP_NUM} * {RANK_SCALE // DAMP_DEN} "
-                f"+ ({DAMP_NUM} * coalesce(s, 0)) div {DAMP_DEN} AS BIGINT) AS r",
+        base = nodes.join(contrib.withColumnRenamed("dst", "host"), "host", "left")
+        if redistribute_dangling:
+            share = (
+                ranks.join(dangling, "host")
+                .agg(F.expr("CAST(coalesce(sum(r), 0) AS BIGINT)").alias("d"))
+                .selectExpr(f"CAST(d div {int(n_nodes)} AS BIGINT) AS __share")
             )
-            .localCheckpoint(eager=True)
-        )
+            base = base.crossJoin(F.broadcast(share))
+            s_expr = "coalesce(s, 0) + __share"
+        else:
+            s_expr = "coalesce(s, 0)"
+        ranks = base.selectExpr(
+            "host",
+            f"CAST({DAMP_DEN - DAMP_NUM} * {RANK_SCALE // DAMP_DEN} "
+            f"+ ({DAMP_NUM} * ({s_expr})) div {DAMP_DEN} AS BIGINT) AS r",
+        ).localCheckpoint(eager=True)
     return nodes.join(ranks, "host").selectExpr(
         "host", "r AS pagerank_q", "out_weight"
     )

@@ -349,12 +349,17 @@ def train_val_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_withs(
-    iterations: int = 3, e0_sql: str | None = None, pre_ctes: str = ""
+    iterations: int = 3,
+    e0_sql: str | None = None,
+    pre_ctes: str = "",
+    dangling: bool = False,
 ) -> str:
     """The quantized-PageRank CTE chain over any ``e0`` edge relation
     (one (src, dst) row per link): default is the md5 host fixture;
     ``e0_sql`` swaps in a derived edge source whose own namespaced CTEs
-    ride in via ``pre_ctes`` (the _webpipe_ctes composition discipline)."""
+    ride in via ``pre_ctes`` (the _webpipe_ctes composition discipline);
+    ``dangling=True`` replays the redistributed-dangling-mass variant
+    (per-iteration ``D div N`` share added to every node's inflow)."""
     from sketchlib.graphops import DAMP_DEN, DAMP_NUM, RANK_SCALE, host_edges_sql
 
     base = DAMP_DEN - DAMP_NUM
@@ -368,17 +373,30 @@ def _pagerank_withs(
         "ew AS (SELECT e.src, e.dst, e.w, d.ow FROM e JOIN deg d USING (src))",
         f"r0 AS (SELECT host, CAST({RANK_SCALE} AS BIGINT) AS r FROM nodes)",
     ]
+    if dangling:
+        ctes.append("nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)")
     for i in range(1, iterations + 1):
         ctes.append(
             f"c{i} AS (SELECT ew.dst,"
             f" CAST(sum(r{i - 1}.r * ew.w // ew.ow) AS BIGINT) AS s"
             f" FROM ew JOIN r{i - 1} ON r{i - 1}.host = ew.src GROUP BY 1)"
         )
+        if dangling:
+            ctes.append(
+                f"d{i} AS (SELECT (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT)"
+                f" FROM r{i - 1} r JOIN nodes USING (host)"
+                " WHERE nodes.out_weight = 0) // nn.n AS share FROM nn)"
+            )
+            inflow = f"(coalesce(c{i}.s, 0) + d{i}.share)"
+            extra = f" CROSS JOIN d{i}"
+        else:
+            inflow = f"coalesce(c{i}.s, 0)"
+            extra = ""
         ctes.append(
             f"r{i} AS (SELECT n.host,"
             f" CAST({base * (RANK_SCALE // DAMP_DEN)}"
-            f" + ({DAMP_NUM} * coalesce(c{i}.s, 0)) // {DAMP_DEN} AS BIGINT) AS r"
-            f" FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.host)"
+            f" + ({DAMP_NUM} * {inflow}) // {DAMP_DEN} AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{i} ON c{i}.dst = n.host{extra})"
         )
     ctes.append(
         f"pr AS (SELECT n.host, r{iterations}.r AS pagerank_q, n.out_weight"
@@ -389,6 +407,38 @@ def _pagerank_withs(
 
 def _pagerank_oracle(iterations: int = 3) -> str:
     return f"{_pagerank_withs(iterations)}\nSELECT * FROM pr"
+
+
+#: src-index predicate making fixture hosts 32..39 DANGLING (they appear
+#: only as dst): regexp parse of the 'h{k}.example.com' index — identical
+#: literal in both engines (digits-only pattern, no backslashes).
+_DANGLE_SRC_PRED = "CAST(regexp_extract(src, '^h([0-9]+)', 1) AS INT) < 32"
+
+
+def _pagerank_dangling_oracle(iterations: int = 3) -> str:
+    from sketchlib.graphops import host_edges_sql
+
+    e0 = (
+        f"SELECT src, dst FROM ({host_edges_sql('duckdb')}) "
+        f"WHERE {_DANGLE_SRC_PRED}"
+    )
+    return f"{_pagerank_withs(iterations, e0_sql=e0, dangling=True)}\nSELECT * FROM pr"
+
+
+@register("web_host_pagerank_dangling", _pagerank_dangling_oracle())
+def web_host_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redistributed-dangling-mass PageRank variant (the treatment
+    published host-rank pipelines apply): per iteration the rank held by
+    zero-outlink hosts is split ``D div N`` across all nodes before
+    damping — engine-exact integer arithmetic throughout. The fixture
+    drops edges whose src index ≥ 32, so hosts 32..39 are genuinely
+    dangling and the redistribution path carries real mass (the
+    unfiltered fixture has no dangling hosts — the variant would be
+    vacuously equal to the base recurrence)."""
+    from sketchlib.graphops import host_graph, pagerank
+
+    edges = host_graph(_docs(spark, sf_dir)).where(F.expr(_DANGLE_SRC_PRED))
+    return pagerank(edges, iterations=3, redistribute_dangling=True)
 
 
 def _link_pagerank_oracle(iterations: int = 3) -> str:

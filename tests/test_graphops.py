@@ -4,8 +4,9 @@ partitioning invariance, and fixture determinism across engines."""
 import duckdb
 
 
-def _hand_pagerank(edges, iterations=3, scale=1_000_000):
-    """Pure-Python replay of the documented recurrence."""
+def _hand_pagerank(edges, iterations=3, scale=1_000_000, dangling=False):
+    """Pure-Python replay of the documented recurrence (optionally the
+    redistributed-dangling-mass variant: D div N added to every inflow)."""
     ow = {}
     for s, d, w in edges:
         ow[s] = ow.get(s, 0) + w
@@ -15,7 +16,12 @@ def _hand_pagerank(edges, iterations=3, scale=1_000_000):
         s_in = {n: 0 for n in nodes}
         for s, d, w in edges:
             s_in[d] += r[s] * w // ow[s]
-        r = {n: 150000 + (85 * s_in[n]) // 100 for n in nodes}
+        share = (
+            sum(r[n] for n in nodes if ow.get(n, 0) == 0) // len(nodes)
+            if dangling
+            else 0
+        )
+        r = {n: 150000 + (85 * (s_in[n] + share)) // 100 for n in nodes}
     return r, {n: ow.get(n, 0) for n in nodes}
 
 
@@ -116,7 +122,34 @@ def test_pagerank_randomized_differential(spark):
         edges = [(s, d, w) for (s, d), w in sorted(raw.items())]
         df = spark.createDataFrame(edges, "src string, dst string, w long")
         for iters in (1, 3):
-            got = {r["host"]: (r["pagerank_q"], r["out_weight"])
-                   for r in pagerank(df, iterations=iters).collect()}
-            want_r, want_ow = _hand_pagerank(edges, iterations=iters)
-            assert got == {k: (want_r[k], want_ow[k]) for k in want_r}, (trial, iters)
+            for dangling in (False, True):
+                got = {
+                    r["host"]: (r["pagerank_q"], r["out_weight"])
+                    for r in pagerank(
+                        df, iterations=iters, redistribute_dangling=dangling
+                    ).collect()
+                }
+                want_r, want_ow = _hand_pagerank(
+                    edges, iterations=iters, dangling=dangling
+                )
+                assert got == {
+                    k: (want_r[k], want_ow[k]) for k in want_r
+                }, (trial, iters, dangling)
+
+
+def test_pagerank_dangling_redistribution_carries_mass(spark):
+    """On a graph with a dangling sink, the variant must differ from the
+    base recurrence (the share is real mass) and match the hand model."""
+    from sketchlib.graphops import pagerank
+
+    edges = [("a", "b", 1), ("b", "c", 1), ("a", "c", 2)]  # c dangles
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    base = {r["host"]: r["pagerank_q"] for r in pagerank(df, 3).collect()}
+    redist = {
+        r["host"]: r["pagerank_q"]
+        for r in pagerank(df, 3, redistribute_dangling=True).collect()
+    }
+    want_r, _ = _hand_pagerank(edges, iterations=3, dangling=True)
+    assert redist == want_r
+    assert redist != base
+    assert all(redist[n] >= base[n] for n in base)  # share only adds mass
