@@ -472,7 +472,7 @@ def main():
         lambda: domain_blocklist_stats(spark, docs).agg(F.sum("n_docs")).collect(),
     )
 
-    from sketchlib.graphops import host_pagerank
+    from sketchlib.graphops import host_crawl_priority, host_pagerank, link_pagerank
     from sketchlib.webpipe import web_curation_pipeline
 
     timed(
@@ -482,6 +482,48 @@ def main():
     timed(
         "web_curation_pipeline_e2e",
         lambda: web_curation_pipeline(spark, docs).agg(F.sum("n_kept")).collect(),
+    )
+
+    # r7 additions: the four repaired gate entries' operators (VERDICT r6
+    # #6: every repaired/new operator benched in-round) + the links→ranks
+    # path + the single-scan crawl table
+    from sketchlib.bpe import bpe_token_ids
+    from sketchlib.htmlops import html_extract_links
+    from sketchlib.multimodal import attach_payload, extract_features
+    from sketchlib.textops import pack_batches
+
+    timed(
+        "doc_bpe_token_ids",
+        lambda: bpe_token_ids(docs)
+        .agg(F.sum(F.expr("CAST(size(token_ids) AS BIGINT)")))
+        .collect(),
+    )
+    timed(
+        "pack_batches_bpe_1024",
+        lambda: pack_batches(bpe_token_ids(docs), budget=1024)
+        .agg(F.sum("n_tokens"))
+        .collect(),
+    )
+    timed(
+        "html_extract_links",
+        lambda: html_extract_links(docs).agg(F.sum("n_links")).collect(),
+    )
+    timed(
+        "mm_extract_features",
+        lambda: extract_features(
+            attach_payload(docs.select("doc_id", "text")).select("doc_id", "payload"),
+            dim=16,
+        )
+        .agg(F.sum(F.element_at("features", 1)))
+        .collect(),
+    )
+    timed(
+        "web_link_pagerank",
+        lambda: link_pagerank(docs).agg(F.sum("pagerank_q")).collect(),
+    )
+    timed(
+        "host_crawl_priority",
+        lambda: host_crawl_priority(docs).agg(F.sum("sum_quality")).collect(),
     )
 
     from sketchlib.dedup import benchmark_span_overlap

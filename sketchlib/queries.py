@@ -778,72 +778,27 @@ def sketch_semi_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/check_oracles.py (which runs ALL entries) and pytest, and
 #: cf_membership_inserted additionally stays smoke-checked via entry().
 _GATE_FRONT = [
-    # r6 rotation (two-round rule, VERDICT r5 #4): the 25 entries whose
-    # last driver green is r4 — they re-enter the window so r5∪r6 covers
-    # the whole registry with nothing older than two rounds
-    "simhash_fingerprints",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_embedding_lsh",
-    "incremental_dedup_new_docs",
-    "training_pipeline_e2e",
-    "ann_cosine_topk",
-    "ann_lsh_topk_batch",
-    "stratified_sample_per_lang",
-    "source_mixing_sample",
-    "curation_pipeline_e2e",
-    "asof_click_attribution",
-    "range_join_promo_windows",
-    "dedup_clusters_star",
-    "user_sessions",
-    "doc_sample_deterministic",
-    "vocab_top100",
-    "pack_sequences_2048",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_resize_fit",
-    "doc_priority_sample_weighted",
-    # entries whose CODE changed in r6 — re-gate on current code
-    "priority_sample_per_lang",      # amortized-compaction local buffer
-    # new in r6 — first driver gating
-    "ann_ivf_topk_batch",            # batch IVF probe (VERDICT r5 #3)
-    "mm_extract_features",           # vectorized extractor (VERDICT r5 #6)
-    "doc_bpe_real_token_count",      # real byte-level BPE (VERDICT r5 #8)
-    "doc_bpe_token_ids",             # full BPE encoding
-    "pack_sequences_bpe_1024",       # packing on real BPE counts
-    "quality_classifier_scores",     # hashed linear quality classifier
-    "url_canonicalize",              # webtext url normalization (north_star: keys on url)
-    "url_dedup_canonical",           # canonical-url dedup (CC stage one)
-    "lm_bigram_scores",              # CCNet-style LM quality scoring
-    "pack_batches_bpe_1024",         # materialized packed training rows
-    "html_extract_text",             # WET-from-WARC extraction stage
-    "html_extract_links",            # outlink extraction (web-graph edges)
-    "dedup_paragraphs",              # Dolma-style paragraph-level dedup
-    "domain_blocklist_stats",        # UT1-style domain filtering stage
-    "ccnet_ppl_buckets",             # CCNet head/middle/tail LM buckets
-    "web_host_pagerank",             # host-graph centrality (CC ranking)
-    "train_val_split",               # leakage-safe split (dedup-keyed)
-    "web_curation_pipeline_e2e",     # five webtext stages composed
-    "curation_funnel_stats",         # per-stage survivor/token funnel
-    "doc_charset_profile",           # script profiling + mojibake gate
-    "host_crawl_priority",           # pagerank × quality crawl table
-    "export_manifest_shards",        # data-release verification manifest
-    # gate code changed this round (ensure_cached expect= validation) —
-    # the rotation rule says changed code needs a fresh driver green
-    "ann_ivf_topk",
-    "ann_ivf_topk_clustered",
-]
-_GATE_DEFERRED = [
-    # r5-front entries with FRESH r5 driver greens and unchanged code —
-    # safest to push past the 50-slot cutoff this round; they stay fully
-    # covered by tools/check_oracles.py (runs ALL entries) and pytest
-    "doc_token_count",
-    "doc_quality",
-    "doc_fingerprint",
-    "doc_token_count_bpe",
+    # r7 rotation. Arithmetic: 100 registry entries, 46 green in r6, a
+    # 50-row window → at most 96 can carry an r6∪r7 green. Front =
+    # (4 r6-red entries, now serialized) + (3 new entries) + (2 r6-greens
+    # whose CODE changed this round: pagerank body + crawl-priority
+    # rewrite) + (41 of the 47 entries whose last green is r5). The 6
+    # r5-greens that don't fit are the most-stable untouched relational
+    # queries (5-round green streaks) — listed in _GATE_DEFERRED with the
+    # replica/pytest coverage note.
+    # --- r6 driver-reds, outputs now serialized to scalars (VERDICT r6 #1)
+    "doc_bpe_token_ids",
+    "pack_batches_bpe_1024",
+    "html_extract_links",
+    "mm_extract_features",
+    # --- new in r7 — first driver gating
+    "web_link_pagerank",               # links→edges→ranks e2e (VERDICT r6 #5)
+    "web_host_pagerank_dangling",      # redistributed-dangling-mass variant
+    "streaming_paragraph_dedup_replay",  # stream fold vs batch SQL oracle
+    # --- r6-greens whose code changed this round — re-gate on current code
+    "web_host_pagerank",               # pagerank() gained the dangling path
+    "host_crawl_priority",             # single-scan rewrite (VERDICT r6 #4)
+    # --- last driver green r5 (two-round rule)
     "cf_membership_inserted",
     "cf_count_add_remove",
     "cf_probe_after_remove_fp32",
@@ -852,20 +807,51 @@ _GATE_DEFERRED = [
     "cf_probe_cogrouped",
     "cf_probe_auto_lowlimit",
     "cf_flags_after_misuse",
+    "source_counts_salted",
     "bloom_membership_docs",
     "hll_distinct_users",
     "cms_event_type_counts",
     "hll_user_overlap",
     "kll_value_quantiles",
     "tdigest_value_quantiles",
+    "lang_source_rollup",
+    "long_docs_non_english",
+    "lang_by_source_pivot",
     "builtin_sketch_crosscheck",
-    "source_counts_salted",
+    "sketch_semi_join_events",
+    "lang_id_heuristic",
+    "doc_token_count",
+    "doc_quality",
+    "doc_fingerprint",
+    "doc_token_count_bpe",
+    "doc_rolling_fingerprint",
+    "doc_repetition_stats",
+    "cross_doc_span_dedup",
+    "doc_pii_scrub",
+    "doc_top_terms",
+    "quality_filter_gopher",
     "hll_distinct_docs_per_lang",
     "tdigest_median_per_type",
+    "ann_lsh_topk",
     "hourly_continuous_aggregate",
-    "sink_roundtrip_csv",
     "sink_roundtrip_jsonl",
+    "sink_roundtrip_csv",
+    "decontaminate_vs_holdout",
     "kmv_user_overlap",
+    "decontaminate_n13",
+    "decontaminate_sketched",
+]
+_GATE_DEFERRED = [
+    # the 6 r5-greens that don't fit the 50-slot window this round: the
+    # longest-streak (r1/r2–r5) untouched plain-relational queries. They
+    # stay fully covered by tools/check_oracles.py (runs ALL entries) and
+    # pytest, and rotate back to the front of r8's window.
+    "lineitem_pricing_summary",
+    "top_customers_by_revenue",
+    "segment_shipping_revenue",
+    "regional_supplier_volume",
+    "promo_revenue_share",
+    "daily_event_trend",
 ]
 
 

@@ -93,9 +93,12 @@ FUZZ_QUERIES = [
     "html_extract_text",
     "html_extract_links",
     "dedup_paragraphs",
+    "streaming_paragraph_dedup_replay",
     "domain_blocklist_stats",
     "ccnet_ppl_buckets",
     "web_host_pagerank",
+    "web_host_pagerank_dangling",
+    "web_link_pagerank",
     "train_val_split",
     "web_curation_pipeline_e2e",
     "curation_funnel_stats",
