@@ -45,12 +45,18 @@ def paragraph_table(docs: DataFrame) -> DataFrame:
     split on newline runs, ``__norm`` whitespace-normalized (the dedup
     identity). Shared by the batch :func:`paragraph_dedup` and the
     streaming sink (sketchlib.streaming.incremental_paragraph_dedup_sink)
-    so both paths dedup on the same identity."""
+    so both paths dedup on the same identity.
+
+    NULL doc_ids drop by contract: the keeper rule orders on (doc_id,
+    pos) — a NULL key has no defined place in that order (and sorts
+    NULLS FIRST in Spark vs NULLS LAST in DuckDB — the r7 fuzz NULL-id
+    finding), and a keeperless doc couldn't be reassembled or attributed
+    anyway."""
     from sketchlib.textops import _rx, norm_ws_sql
 
     nl_runs = _rx("spark", r"\n+")
     return (
-        docs.where(F.col("text").isNotNull())
+        docs.where(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
         .select(
             "doc_id",
             F.posexplode(F.expr(f"split(text, {nl_runs})")).alias("pos", "para"),

@@ -51,16 +51,29 @@ RANK_SCALE = 1_000_000
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
-def host_edges_sql(dialect: str) -> str:
-    """``(src, dst)`` one row per page, both hosts md5-derived from
-    doc_id (src = the urlops url-base host, dst = the htmlops outlink
-    host). NULL doc_ids drop — same contract as the url fixture."""
+def host_pair_exprs(dialect: str) -> tuple[str, str]:
+    """The ONE definition of the md5 host-pair fixture expressions
+    (src = the urlops url-base host, dst = the htmlops outlink host) —
+    shared by :func:`host_edges_sql`, :func:`host_graph`,
+    :func:`_crawl_stats_build`, and the crawl-priority oracle, so a
+    fixture edit (salt, modulus) cannot silently diverge the edge set
+    one consumer sees from another's (r7 self-review finding)."""
     s = _s(dialect)
     src = _md5i(dialect, f"'url-base:' || CAST(doc_id AS {s})") + " % 200"
     dst = _md5i(dialect, f"'html-base:' || CAST(doc_id AS {s})") + " % 40"
     return (
-        f"SELECT 'h' || CAST(({src}) % 40 AS {s}) || '.example.com' AS src, "
-        f"'h' || CAST(({dst}) AS {s}) || '.example.com' AS dst "
+        f"'h' || CAST((({src}) % 40) AS {s}) || '.example.com'",
+        f"'h' || CAST(({dst}) AS {s}) || '.example.com'",
+    )
+
+
+def host_edges_sql(dialect: str) -> str:
+    """``(src, dst)`` one row per page, both hosts md5-derived from
+    doc_id (src = the urlops url-base host, dst = the htmlops outlink
+    host). NULL doc_ids drop — same contract as the url fixture."""
+    src, dst = host_pair_exprs(dialect)
+    return (
+        f"SELECT {src} AS src, {dst} AS dst "
         f"FROM documents WHERE doc_id IS NOT NULL"
     )
 
@@ -69,15 +82,10 @@ def host_graph(docs: DataFrame) -> DataFrame:
     """Weighted host edge list ``(src, dst, w)``: ONE corpus-sized
     aggregation, map-side combined — the exchange carries ~distinct host
     pairs per map partition."""
-    s = _s("spark")
-    src = _md5i("spark", f"'url-base:' || CAST(doc_id AS {s})") + " % 200"
-    dst = _md5i("spark", f"'html-base:' || CAST(doc_id AS {s})") + " % 40"
+    src, dst = host_pair_exprs("spark")
     return (
         docs.where(F.col("doc_id").isNotNull())
-        .selectExpr(
-            f"'h' || CAST(({src}) % 40 AS STRING) || '.example.com' AS src",
-            f"'h' || CAST(({dst}) AS STRING) || '.example.com' AS dst",
-        )
+        .selectExpr(f"{src} AS src", f"{dst} AS dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -168,14 +176,12 @@ def _crawl_stats_build(docs: DataFrame) -> DataFrame:
     derived from two separate corpus scans (VERDICT r6 #4)."""
     from sketchlib.textops import classifier_score_sql
 
-    s = _s("spark")
-    src = _md5i("spark", f"'url-base:' || CAST(doc_id AS {s})") + " % 200"
-    dst = _md5i("spark", f"'html-base:' || CAST(doc_id AS {s})") + " % 40"
+    src, dst = host_pair_exprs("spark")
     return (
         docs.where(F.col("doc_id").isNotNull())
         .selectExpr(
-            f"'h' || CAST(({src}) % 40 AS STRING) || '.example.com' AS src",
-            f"'h' || CAST(({dst}) AS STRING) || '.example.com' AS dst",
+            f"{src} AS src",
+            f"{dst} AS dst",
             f"{classifier_score_sql('spark')} AS __q",
         )
         .groupBy("src", "dst")

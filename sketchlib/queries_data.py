@@ -151,9 +151,10 @@ def doc_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pack_bpe_oracle() -> str:
     from sketchlib.bpe import bpe_count_expr_sql
 
+    # doc_id IS NOT NULL: the NULL-sort-key trap, see _PACK_ORACLE
     return (
         "WITH t AS (SELECT doc_id, {tc} AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS k "
-        "           FROM documents WHERE text IS NOT NULL), "
+        "           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL), "
         "c AS (SELECT doc_id, n_tokens, "
         "             SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum "
         "      FROM t) "
@@ -174,14 +175,17 @@ def pack_sequences_bpe_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sketchlib.bpe import bpe_token_count
     from sketchlib.textops import pack_sequences
 
-    counts = bpe_token_count(_docs(spark, sf_dir))
+    counts = bpe_token_count(
+        _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
+    )
     return pack_sequences(counts, budget=1024, tokens_col="n_bpe_real_tokens")
 
 
 _PACK_BATCHES_ORACLE_TMPL = """
 WITH ids AS ({ids_sql}),
 t AS (SELECT doc_id, token_ids, CAST(len(token_ids) AS BIGINT) AS n,
-             md5(CAST(doc_id AS VARCHAR)) AS k FROM ids),
+             md5(CAST(doc_id AS VARCHAR)) AS k FROM ids
+      WHERE doc_id IS NOT NULL),
 c AS (SELECT doc_id, token_ids, n,
              CAST(SUM(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n
                   AS BIGINT) AS start FROM t),
@@ -219,11 +223,15 @@ def pack_batches_bpe_1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gate shape (VERDICT r6 #1): the library API (textops.pack_batches)
     returns the bins as array<int>; the gate serializes each bin to an
     engine-exact CSV scalar so the driver canon can hash it — every id
-    in every bin is still value-checked in order."""
+    in every bin is still value-checked in order. NULL doc_ids drop on
+    both sides: the fill joins layout⋈ids ON doc_id (NULL keys never
+    equi-join — the r7 fuzz NULL-id finding) and the layout sorts on
+    md5(doc_id) (the NULLS FIRST/LAST engine split)."""
     from sketchlib.bpe import bpe_token_ids
     from sketchlib.textops import pack_batches
 
-    return pack_batches(bpe_token_ids(_docs(spark, sf_dir)), budget=1024).select(
+    ids = bpe_token_ids(_docs(spark, sf_dir).where(F.col("doc_id").isNotNull()))
+    return pack_batches(ids, budget=1024).select(
         "bin_id",
         F.expr(
             "concat_ws(',', transform(token_ids, x -> CAST(x AS STRING)))"
@@ -518,14 +526,14 @@ def export_manifest_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _crawl_priority_oracle() -> str:
+    from sketchlib.graphops import host_pair_exprs
     from sketchlib.textops import classifier_score_sql
-    from sketchlib.urlops import _md5i
 
-    src = _md5i("duckdb", "'url-base:' || CAST(doc_id AS VARCHAR)") + " % 200"
+    src, _ = host_pair_exprs("duckdb")
     return f"""{_pagerank_withs()},
 hq AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(q) AS BIGINT) AS sum_quality
-       FROM (SELECT 'h' || CAST(({src}) % 40 AS VARCHAR) || '.example.com' AS host,
+       FROM (SELECT {src} AS host,
                     {classifier_score_sql('duckdb')} AS q
              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
        GROUP BY 1)
@@ -566,7 +574,7 @@ def _para_dedup_ctes(src: str, text_out: str = "kept_text") -> tuple[str, str]:
     nl = _rx("duckdb", r"\n+")
     norm = norm_ws_sql("duckdb", "para")
     ctes = f"""pd_d AS (SELECT doc_id, string_split_regex(text, {nl}) AS a
-           FROM {src} WHERE text IS NOT NULL),
+           FROM {src} WHERE text IS NOT NULL AND doc_id IS NOT NULL),
 pd_p0 AS (SELECT doc_id, i - 1 AS pos, a[i] AS para
        FROM pd_d, UNNEST(range(1, len(a) + 1)) AS u(i)),
 pd_p AS (SELECT * FROM (SELECT doc_id, pos, para, {norm} AS nrm FROM pd_p0)
@@ -781,16 +789,16 @@ def _html_links_oracle() -> str:
     from sketchlib.textops import _rx
 
     lit = _rx("duckdb", _HREF_RX)
-    # DuckDB array_to_string is NULL for BOTH a NULL list and an empty
-    # list (string_agg semantics); Spark's guarded concat_ws yields NULL
-    # for NULL hrefs but '' for zero matches — the CASE + COALESCE pins
-    # NULL html → NULL, zero links → '' in both engines
+    # COALESCE: DuckDB array_to_string([]) is NULL (string_agg semantics)
+    # where Spark concat_ws yields '' — a zero-link page must serialize
+    # as '' in both engines. html itself is never NULL here: both sides'
+    # sources DROP NULL doc_id/text rows (with_synth_html's filter ≡ the
+    # oracle source's WHERE), so no NULL branch exists.
     return (
         f"WITH p AS ({_html_source_sql()}) "
         f"SELECT doc_id, "
-        f"CASE WHEN html IS NULL THEN NULL ELSE "
         f"COALESCE(array_to_string(regexp_extract_all(html, {lit}, 1), chr(31)), '') "
-        f"END AS hrefs_joined, "
+        f"AS hrefs_joined, "
         f"CAST(len(regexp_extract_all(html, {lit}, 1)) AS BIGINT) AS n_links FROM p"
     )
 
@@ -806,16 +814,13 @@ def html_extract_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins them on an unencodable separator (chr(31) — cannot appear in an
     href attribute value extracted by the regex, which excludes '"' only,
     but the SAME serialization runs in both engines so even a separator
-    collision is order-exact). NULL html (NULL doc_id/text) stays NULL on
-    both sides via the explicit guard."""
+    collision is order-exact). NULL doc_id/text rows drop on both sides
+    (the synth-html fixture's filter), so hrefs is never NULL here."""
     from sketchlib.htmlops import html_extract_links
 
-    hj = F.concat_ws("\x1f", F.col("hrefs"))
     return html_extract_links(_docs(spark, sf_dir)).select(
         "doc_id",
-        F.when(F.col("hrefs").isNull(), F.lit(None).cast("string"))
-        .otherwise(hj)
-        .alias("hrefs_joined"),
+        F.concat_ws("\x1f", F.col("hrefs")).alias("hrefs_joined"),
         "n_links",
     )
 
@@ -1036,11 +1041,16 @@ def _pii_injected(dialect: str) -> str:
     synthetic corpus carries no PII, so the gate query injects one email /
     phone / IPv4 per doc before scrubbing — the OPERATOR under test is the
     scrub; the injection just gives the oracle nonzero signal."""
+    # every doc_id cast rides in a coalesce: Spark concat NULL-propagates
+    # where DuckDB concat skips NULLs (the CLAUDE.md trap) — a NULL doc_id
+    # must inject the same string in both engines (r7 fuzz NULL-id row)
     s = "STRING" if dialect == "spark" else "VARCHAR"
+    i = f"coalesce(CAST(doc_id AS {s}), '')"
     return (
-        f"concat(coalesce(text, ''), ' contact user', CAST(doc_id AS {s}), '@example.com"
-        f" or +1 555-010', CAST(doc_id % 10 AS {s}),"
-        f" ' at 10.0.', CAST(doc_id % 256 AS {s}), '.', CAST(doc_id % 100 AS {s}))"
+        f"concat(coalesce(text, ''), ' contact user', {i}, '@example.com"
+        f" or +1 555-010', coalesce(CAST(doc_id % 10 AS {s}), ''),"
+        f" ' at 10.0.', coalesce(CAST(doc_id % 256 AS {s}), ''), '.', "
+        f"coalesce(CAST(doc_id % 100 AS {s}), ''))"
     )
 
 
@@ -1124,8 +1134,12 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_fingerprints",
     # 'has at least one token' — NOT length(trim(..)) > 0: trim strips only
     # spaces in both engines, so whitespace-with-tabs text would count as
-    # non-empty while producing zero \s+ tokens (fuzz-gate finding)
-    r"SELECT doc_id, TRUE AS impl_agree FROM documents WHERE regexp_matches(text, '\S')",
+    # non-empty while producing zero \s+ tokens (fuzz-gate finding).
+    # doc_id IS NOT NULL: the agreement check joins the two implementations
+    # ON doc_id — NULL keys never equi-join, so a NULL-id doc would emit
+    # two un-matched rows vs the oracle's one (r7 fuzz NULL-id row)
+    r"SELECT doc_id, TRUE AS impl_agree FROM documents "
+    r"WHERE regexp_matches(text, '\S') AND doc_id IS NOT NULL",
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash cross-implementation gate (the builtin_sketch_crosscheck
@@ -1133,13 +1147,14 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal an INDEPENDENT numpy majority-vote over the same token hashes for
     every document — the oracle asserts per-doc agreement, turning the
     Spark-native operator (xxhash64 has no DuckDB equivalent) into a fully
-    hash-gated query. Fingerprint consumers use with_simhash directly."""
+    hash-gated query. Fingerprint consumers use with_simhash directly.
+    NULL doc_ids drop (the join-key contract — see the oracle comment)."""
     import numpy as np
     import pandas as pd
 
     from sketchlib.util import i64_to_u64
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id").isNotNull())
     spark_sim = with_simhash(docs)
     toks = (
         docs.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
@@ -2127,8 +2142,12 @@ def ann_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_ORACLE = (
+    # doc_id IS NOT NULL: the layout ORDERS BY md5(doc_id) — a NULL key
+    # sorts NULLS FIRST in Spark and NULLS LAST in DuckDB, shifting every
+    # downstream cumsum (r7 fuzz NULL-id row); the packer keys docs on
+    # their id, so NULL-id docs drop by contract on both sides
     "WITH t AS (SELECT doc_id, {tc} AS n_tokens, md5(CAST(doc_id AS VARCHAR)) AS k "
-    "           FROM documents), "
+    "           FROM documents WHERE doc_id IS NOT NULL), "
     "c AS (SELECT doc_id, n_tokens, "
     "             SUM(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum "
     "      FROM t) "
@@ -2145,10 +2164,13 @@ def pack_sequences_2048(spark: SparkSession, sf_dir: str) -> DataFrame:
     a two-phase distributed prefix sum (per-partition window cumsum +
     driver-side prefix offsets — never a global single-partition window).
     Oracle is the straightforward window SUM in DuckDB; exact integer
-    arithmetic makes the bin/offset assignment engine-identical."""
+    arithmetic makes the bin/offset assignment engine-identical. NULL
+    doc_ids drop (the layout keys docs on their id — oracle comment)."""
     from sketchlib.textops import pack_sequences
 
-    return pack_sequences(_docs(spark, sf_dir), budget=2048)
+    return pack_sequences(
+        _docs(spark, sf_dir).where(F.col("doc_id").isNotNull()), budget=2048
+    )
 
 
 # ------------------------------------------------- sources/sinks beyond parquet
@@ -2330,7 +2352,7 @@ def mm_resize_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FEATURES_ORACLE = """
 WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
                   CAST(octet_length(encode(text)) AS BIGINT) AS n
-           FROM documents WHERE text IS NOT NULL),
+           FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
 by AS (SELECT doc_id,
          strpos('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1 AS bin
        FROM (SELECT doc_id, hx, unnest(range(n)) AS i FROM b)),
@@ -2358,10 +2380,18 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<float>; the driver canon cannot hash list cells, so the gate
     POSEXPLODES to (doc_id, bin, feature) scalar float32 rows — every
     component is still compared BITWISE (the stronger per-value check; a
-    CSV of floats would need a lossy or engine-specific rendering)."""
+    CSV of floats would need a lossy or engine-specific rendering).
+    NULL doc_ids drop on both sides: the oracle reassembles per-doc
+    histograms through a doc_id equi-join that can never match a NULL
+    key (the r7 fuzz NULL-id finding — CLAUDE.md's IS-NOT-DISTINCT class,
+    resolved here by pinning the key contract instead)."""
     from sketchlib.multimodal import attach_payload, extract_features
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
     with_payload = attach_payload(docs).select("doc_id", "payload")
     feats = extract_features(with_payload, dim=16)
     return feats.select(

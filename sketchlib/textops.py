@@ -470,6 +470,10 @@ def pack_sequences(
     cumsum, so the result is independent of partition boundaries and
     engine (oracled against a DuckDB window sum).
 
+    NULL ids: the layout orders on (md5(id), id) — a NULL id has no
+    defined place (engines disagree on NULL sort placement); callers
+    must filter NULL ids (the gate entries do — r7 fuzz finding).
+
     Returns (doc_id, n_tokens, bin_id, start_off), bins 0-based.
     """
     from pyspark.sql import Window as W
@@ -591,6 +595,11 @@ def pack_batches(
     size()) and the fill, so the upstream encoder runs once. Per-bin
     state is bounded by ``budget`` ints, so executor memory is flat in
     corpus size.
+
+    NULL ids: the fill joins layout⋈ids ON the id — a NULL key never
+    equi-joins, so a NULL-id doc would silently hold a layout slot while
+    contributing no ids (r7 fuzz finding); callers must filter NULL ids
+    (the gate entries do).
     """
     if budget <= 0:
         raise ValueError("budget must be positive")

@@ -127,13 +127,20 @@ def fuzz_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("fuzzsf")
     langs = ["en", "de", "fr", "es", "it", "und"]
     n = len(CORPUS)
-    # three NULL rows: NULL text (caught concat/NOT-IN/UDF traps), NULL
-    # lang, NULL source
+    # four NULL rows: NULL text (caught concat/NOT-IN/UDF traps), NULL
+    # lang, NULL source, and NULL doc_id with live text (caught the r7
+    # NULL-equality-join and NULL-sort-key oracle divergences: Spark
+    # equi-joins/window keys drop or misplace NULL ids where a DuckDB
+    # oracle's = join never matches and ORDER BY places NULLS LAST)
+    # the NULL-id text shares a paragraph with CORPUS[0] so keyed dedup
+    # paths face a cross-doc duplicate owned by a NULL key, not just a
+    # standalone orphan row
     rows = {
-        "doc_id": list(range(n)) + [n, n + 1, n + 2],
-        "text": CORPUS + [None, "null lang row", "null source row"],
-        "lang": [langs[i % len(langs)] for i in range(n)] + ["en", None, "de"],
-        "source": [f"src{i % 4}" for i in range(n)] + ["src0", "src1", None],
+        "doc_id": list(range(n)) + [n, n + 1, n + 2, None],
+        "text": CORPUS
+        + [None, "null lang row", "null source row", f"null id row\n{CORPUS[0]}"],
+        "lang": [langs[i % len(langs)] for i in range(n)] + ["en", None, "de", "fr"],
+        "source": [f"src{i % 4}" for i in range(n)] + ["src0", "src1", None, "src2"],
     }
     pq.write_table(pa.table(rows), d / "documents.parquet")
     for t in TABLES:

@@ -127,8 +127,19 @@ def test_registry_outputs_are_driver_hashable(spark, sf_dir):
 
     from sketchlib.queries import queries
 
+    # these builders EXECUTE real work (foreachBatch folds, sink
+    # write/read roundtrips) rather than just constructing a plan —
+    # skipped here for test-suite cost; their schemas stay covered by
+    # check_oracles' container_types rejection, which runs every entry
+    eager_entries = {
+        "streaming_paragraph_dedup_replay",
+        "sink_roundtrip_csv",
+        "sink_roundtrip_jsonl",
+    }
     offenders: dict[str, list[str]] = {}
     for name, fn in queries().items():
+        if name in eager_entries:
+            continue
         bad = [
             f.name
             for f in fn(spark, sf_dir).schema.fields
