@@ -498,8 +498,10 @@ def main():
             ("no forced broadcast anywhere", lambda p: "BroadcastExchange" not in p),
             ("scan prunes to doc_id+text",
              lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
-            ("null-text filter pushed to scan",
-             lambda p: "PushedFilters: [IsNotNull(text)]" in p),
+            # doc_id joined the pushdown in r7 (paragraph_table's NULL-id
+            # keeper contract) — assert both predicates reach the scan
+            ("null text+doc_id filters pushed to scan",
+             lambda p: "PushedFilters: [IsNotNull(text), IsNotNull(doc_id)]" in p),
         ],
     )
     from sketchlib.urlops import domain_blocklist_stats
