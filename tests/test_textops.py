@@ -156,6 +156,43 @@ def test_pack_batches_bins_are_exact_contiguous_slices(spark):
         pack_batches(ids, budget=0)
 
 
+def test_pack_batches_randomized_differential(spark):
+    """Seeded random corpora (ragged lengths, zero-token docs, duplicate
+    lengths, budgets that divide and don't divide the stream) against a
+    pure-Python concat-then-chunk packer — every bin's ids, doc count,
+    and token count must match exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from sketchlib.textops import pack_batches
+
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        n = int(rng.integers(3, 20))
+        budget = int(rng.choice([4, 16, 17, 64]))
+        rows = [
+            (int(i), [int(x) for x in rng.integers(0, 1000, size=int(rng.integers(0, 40)))])
+            for i in range(n)
+        ]
+        order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+        stream = [(d, t) for d, toks in order for t in toks]
+        want = {}
+        for pos, (d, t) in enumerate(stream):
+            b = pos // budget
+            ids, docs = want.setdefault(b, ([], set()))
+            ids.append(t)
+            docs.add(d)
+        df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+        got = {r["bin_id"]: r for r in pack_batches(df, budget=budget).collect()}
+        assert set(got) == set(want), (trial, budget)
+        for b, (ids, docs) in want.items():
+            assert got[b]["token_ids"] == ids, (trial, b)
+            assert got[b]["n_tokens"] == len(ids), (trial, b)
+            # n_docs counts SEGMENTS (a straddling doc counts once per bin)
+            assert got[b]["n_docs"] == len(docs), (trial, b)
+
+
 def test_repetition_stats_ground_truth(spark):
     from sketchlib.textops import with_repetition_stats
 
