@@ -73,6 +73,28 @@ def test_driver_gate_order_covers_rotated_entries():
         assert qs[name] is q.REGISTRY[name][0]
 
 
+def test_gate_rotation_tool_reads_history(tmp_path):
+    """tools/gate_rotation.py's history parser: hash greens and rows-only
+    greens count, err rows don't, and the latest round is detected."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from gate_rotation import last_green_by_entry
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"hash_match": True, "rows_match": True, "err": None},
+        "b": {"hash_match": False, "rows_match": True, "err": None},  # rows-only
+        "c": {"hash_match": None, "rows_match": None, "err": "boom"},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "a": {"hash_match": True, "rows_match": True, "err": None},
+    }))
+    last, latest = last_green_by_entry(str(tmp_path))
+    assert latest == 2
+    assert last == {"a": 2, "b": 1}  # c never green
+
+
 def test_core14_is_the_frozen_r2_r3_shared_subset():
     """VERDICT r3 #8: round-over-round bench comparison uses a frozen
     subtotal; CORE14 must stay exactly the query set shared by the r2 and
