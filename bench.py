@@ -126,6 +126,47 @@ MP_EFF_CEIL = 0.9
 NORM_BAND = (0.5, 1.5)
 
 
+#: the driver's output-capture window is ~2000 chars; a parsed artifact
+#: requires the whole stdout JSON line inside it (VERDICT r7 #5). Leave
+#: margin for a trailing newline + any stray stderr interleaving.
+LINE_BUDGET = 1900
+
+
+def compact_line(result: dict) -> dict:
+    """The driver-facing subset of the full bench record: headline, the
+    full per-query map, frozen core14 subtotal, FP rates, and the scaling
+    medians — everything the round comparison needs, none of the rep-level
+    detail (that lives in BENCH/last_full.json). Trims query precision to
+    2 decimals if the serialized line would overflow LINE_BUDGET."""
+    sc = result.get("scaling") or {}
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "core14_seconds": result["core14_seconds"],
+        "fp": result.get("observed_fp_rates"),
+        "build_docs_per_sec": result.get("cuckoo_build_docs_per_sec"),
+        "probe_docs_per_sec": result.get("probe_docs_per_sec"),
+    }
+    if sc:
+        out["scaling"] = {
+            "efficiency": sc.get("efficiency"),
+            "normalized": sc.get("efficiency_control_normalized"),
+            "mp_control": sc.get("mp_control_efficiency"),
+            "control_sane": sc.get("control_sane"),
+        }
+    if len(json.dumps(out)) > LINE_BUDGET:
+        out["queries"] = {k: round(v, 2) for k, v in out["queries"].items()}
+    if len(json.dumps(out)) > LINE_BUDGET:
+        # last resort: drop the optional extras (all preserved in
+        # BENCH/last_full.json) — the driver contract keys stay
+        for k in ("fp", "build_docs_per_sec", "probe_docs_per_sec"):
+            out.pop(k, None)
+    return out
+
+
 def scaling_rep(s8: float, m8: float, s32: float, m32: float) -> dict:
     """One interleaved A/B rep → its efficiency record (pure function)."""
     return {
@@ -644,10 +685,6 @@ def main():
             "build_bandwidth_bound": True,
         }
 
-    # KEY ORDER IS LOAD-BEARING (VERDICT r5 #1b): the driver records only
-    # the LAST 2000 chars of this line, so the big `scaling` blob goes
-    # first and the per-query map + frozen core14 subtotal go LAST — they
-    # must land inside the driver's tail window.
     result = {
         "metric": "headline_suite_seconds",
         "value": round(sum(queries.values()), 3),
@@ -663,7 +700,22 @@ def main():
         # here, never silently shrink the frozen subtotal
         "core14_seconds": round(sum(queries[q] for q in CORE14), 3),
     }
-    print(json.dumps(result))
+    # The driver captures only the LAST ~2000 chars of output and parses a
+    # JSON line only if it sits ENTIRELY inside that window (BENCH_r01/r02
+    # parsed at 948/1602 chars; r03-r07's >2000-char lines recorded
+    # parsed:null — VERDICT r7 #5). So: the FULL record goes to a file,
+    # stdout gets one compact line guaranteed under the window.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_full.json"
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    line = json.dumps(compact_line(result))
+    if len(line) > LINE_BUDGET:  # pragma: no cover — compact_line trims first
+        log(f"WARNING: compact bench line {len(line)} chars exceeds the "
+            f"{LINE_BUDGET}-char driver tail window")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -51,6 +51,47 @@ def test_band_edges_inclusive():
     assert bench.scaling_rep_ok(rep(1000, 2000, 1200, 2000))   # mp .25, norm 1.2
 
 
+def test_compact_line_fits_driver_tail_window():
+    """VERDICT r7 #5: the driver parses the bench line only when it sits
+    entirely inside its ~2000-char output tail (r1/r2 parsed at 948/1602
+    chars; the r3-r7 >2000-char lines recorded parsed:null). The compact
+    line must stay under budget even with a suite notably larger than
+    today's, and must keep the keys the round comparison reads."""
+    import json
+
+    # 50 queries at the suite's realistic name length (current suite: 37
+    # queries, ~20-char names) — room for several rounds of growth
+    queries = {f"query_name_shaped_{i:02d}": 12.345 for i in range(50)}
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": 123.456,
+        "unit": "sec",
+        "sf": "sf0.1",
+        "pages_rows": 600000,
+        "cuckoo_build_docs_per_sec": 123456.7,
+        "probe_docs_per_sec": 765432.1,
+        "observed_fp_rates": {"fp8": 0.0179, "fp16": 9e-05, "fp32": 0.0},
+        "scaling": {
+            "efficiency": 0.85,
+            "efficiency_control_normalized": 1.056,
+            "mp_control_efficiency": 0.62,
+            "control_sane": True,
+            "reps": [{"huge": "detail"}] * 6,       # must NOT leak into the line
+            "rejected_reps": [{"huge": "detail"}] * 4,
+        },
+        "queries": queries,
+        "core14_seconds": 17.172,
+    }
+    line = json.dumps(bench.compact_line(result))
+    assert len(line) <= bench.LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["core14_seconds"] == 17.172
+    assert len(parsed["queries"]) == 50
+    assert parsed["scaling"]["normalized"] == 1.056
+    assert parsed["scaling"]["control_sane"] is True
+    assert "reps" not in json.dumps(parsed)
+
+
 def test_driver_gate_order_covers_rotated_entries():
     """VERDICT r3 #1: the driver checks only the first 50 queries() entries;
     the rotation must land every previously-ungated entry inside that
@@ -75,7 +116,9 @@ def test_driver_gate_order_covers_rotated_entries():
 
 def test_gate_rotation_tool_reads_history(tmp_path):
     """tools/gate_rotation.py's history parser: hash greens and rows-only
-    greens count, err rows don't, and the latest round is detected."""
+    greens (hash_match None — the driver never records False for those)
+    count; err rows and hash-MISMATCH rows (hash_match False, the r4
+    SUM-rendering red shape) don't; the latest round is detected."""
     import json
     import sys
 
@@ -84,15 +127,16 @@ def test_gate_rotation_tool_reads_history(tmp_path):
 
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
         "a": {"hash_match": True, "rows_match": True, "err": None},
-        "b": {"hash_match": False, "rows_match": True, "err": None},  # rows-only
+        "b": {"hash_match": None, "rows_match": True, "err": None},  # rows-only
         "c": {"hash_match": None, "rows_match": None, "err": "boom"},
+        "d": {"hash_match": False, "rows_match": True, "err": None},  # real red
     }))
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
         "a": {"hash_match": True, "rows_match": True, "err": None},
     }))
     last, latest = last_green_by_entry(str(tmp_path))
     assert latest == 2
-    assert last == {"a": 2, "b": 1}  # c never green
+    assert last == {"a": 2, "b": 1}  # c and d never green
 
 
 def test_core14_is_the_frozen_r2_r3_shared_subset():

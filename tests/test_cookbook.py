@@ -14,11 +14,21 @@ _DOC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def _blocks():
+    """One fenced block per '## N.' section, matched WITHIN the section —
+    a cross-boundary regex would silently attribute the next section's
+    block to a code-less section (ADVICE r7)."""
     text = open(_DOC).read()
     out = []
-    for m in re.finditer(r"## (\d+)\. ([^\n]+)\n.*?```python\n(.*?)```",
-                         text, flags=re.S):
-        out.append(pytest.param(m.group(3), id=f"recipe{m.group(1)}"))
+    sections = re.split(r"(?m)^## ", text)[1:]
+    for sec in sections:
+        head = re.match(r"(\d+)\. ", sec)
+        assert head, f"unnumbered cookbook section: {sec[:60]!r}"
+        blocks = re.findall(r"```python\n(.*?)```", sec, flags=re.S)
+        assert len(blocks) == 1, (
+            f"cookbook section {head.group(1)} has {len(blocks)} python "
+            "blocks; exactly one expected"
+        )
+        out.append(pytest.param(blocks[0], id=f"recipe{head.group(1)}"))
     assert out, "no fenced python blocks found in COOKBOOK.md"
     return out
 

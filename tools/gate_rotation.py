@@ -33,8 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def last_green_by_entry(repo_root: str) -> tuple[dict[str, int], int]:
     """(entry -> last round with a passing driver row, latest round seen).
-    A 'green' is hash_match, or rows_match with no error for the weaker
-    rows-only checks."""
+    A 'green' is hash_match, or — for the weaker rows-only checks, which
+    record hash_match as None (never False) — rows_match with no error.
+    hash_match=False is a REAL driver red even when rows matched (the r4
+    SUM-rendering failures had exactly that shape) and must re-front."""
     last: dict[str, int] = {}
     latest = 0
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
@@ -47,7 +49,9 @@ def last_green_by_entry(repo_root: str) -> tuple[dict[str, int], int]:
             rows = json.load(f)
         for name, row in rows.items():
             if row.get("hash_match") or (
-                row.get("err") is None and row.get("rows_match")
+                row.get("hash_match") is None
+                and row.get("err") is None
+                and row.get("rows_match")
             ):
                 last[name] = max(last.get(name, 0), rnd)
     return last, latest
