@@ -53,31 +53,24 @@ FUZZ_QUERIES = [
     "doc_top_terms",
     "doc_pii_scrub",
     "quality_filter_gopher",
-    "source_mixing_sample",
+    "sampling_suite",
     "dedup_exact_docs",
-    "stratified_sample_per_lang",
     "pack_sequences_2048",
     "curation_pipeline_e2e",
     "vocab_top100",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_clusters",
+    "dedup_clusters_cc_star",
     "simhash_fingerprints",
-    "doc_sample_deterministic",
     "lang_source_rollup",
     "lang_by_source_pivot",
     "long_docs_non_english",
     "hll_distinct_docs_per_lang",
     "incremental_dedup_new_docs",
     "training_pipeline_e2e",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "mm_resize_fit",
-    "dedup_clusters_star",
+    "mm_payload_pipeline",
     "source_counts_salted",
     "sink_roundtrip_jsonl",
-    "doc_priority_sample_weighted",
-    "priority_sample_per_lang",
     "decontaminate_vs_holdout",
     "decontaminate_sketched",
     "decontaminate_n13",
@@ -86,8 +79,7 @@ FUZZ_QUERIES = [
     "doc_bpe_token_ids",
     "pack_sequences_bpe_1024",
     "quality_classifier_scores",
-    "url_canonicalize",
-    "url_dedup_canonical",
+    "url_canonical_dedup",
     "lm_bigram_scores",
     "pack_batches_bpe_1024",
     "html_extract_text",
@@ -324,8 +316,7 @@ EMB_QUERIES = [
     "ann_ivf_topk",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "ann_ivf_topk_clustered",
-    "ann_ivf_topk_batch",
+    "ann_ivf_clustered_probe",
 ]
 
 

@@ -308,7 +308,7 @@ def test_ivf_clustered_fixture_recall_floor(spark, emb, tmp_path):
     the corpus (nprobe=2 of 16 lists; the raw hash-scattered fixture
     needed ~75% scanned for the same recall, which is a linear scan with
     extra steps). The clustered fixture is the deterministic 16-cluster
-    mixture the ann_ivf_topk_clustered registry entry gates."""
+    mixture the ann_ivf_clustered_probe registry entry gates."""
     from sketchlib.similarity import clustered_embeddings, ivf_topk, write_ivf_index
 
     emb2 = clustered_embeddings(emb, n_clusters=16).cache()
