@@ -804,7 +804,7 @@ _GATE_FRONT = [
     "ann_ivf_clustered_probe",
     "sampling_suite",
     # --- new in r8 — first driver gating (uncommented as each lands)
-    # "mm_decode_bmp",               # real pure-numpy BMP decode (VERDICT r7 #3)
+    "mm_decode_bmp",                 # real pure-numpy BMP decode (VERDICT r7 #3)
     # "web_host_harmonic",           # HyperBall harmonic centrality (VERDICT r7 #4)
     # "ann_ivf_pq_topk",             # IVF + product quantization (VERDICT r7 #6)
     # --- last driver green r6 (two-round rule)

@@ -69,6 +69,7 @@ FUZZ_QUERIES = [
     "incremental_dedup_new_docs",
     "training_pipeline_e2e",
     "mm_payload_pipeline",
+    "mm_decode_bmp",
     "source_counts_salted",
     "sink_roundtrip_jsonl",
     "decontaminate_vs_holdout",

@@ -89,3 +89,110 @@ def test_real_decode_is_stubbed():
 def test_binary_column_type(spark, docs):
     df = attach_payload(docs)
     assert dict(df.dtypes)["payload"] == "binary"
+
+
+# ---------------------------------------------------------- real BMP
+
+
+def test_bmp_golden_vector():
+    """Hand-checkable 3x2 BGR image through build_bmp -> decode_bmp: the
+    builder emits a spec-layout BMP (54-byte header, 4-byte row stride,
+    bottom row first) and the decoder recovers the image-space stats."""
+    import struct
+
+    import numpy as np
+
+    from sketchlib.multimodal import build_bmp, decode_bmp
+
+    px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)  # rows 0..8 / 9..17
+    blob = build_bmp(px)
+    # header facts straight off the bytes
+    assert blob[:2] == b"BM"
+    off = struct.unpack_from("<I", blob, 10)[0]
+    assert off == 54
+    w, h, planes, bpp = struct.unpack_from("<iiHH", blob, 18)
+    assert (w, h, planes, bpp) == (3, 2, 1, 24)
+    stride = 12  # 3*3=9 padded to 4-byte boundary
+    assert len(blob) == off + stride * 2
+    # bottom-up: the FILE's first pixel row is image row 1 (bytes 9..17)
+    assert blob[off : off + 9] == bytes(range(9, 18))
+    d = decode_bmp(blob)
+    assert d == {
+        "width": 3, "height": 2,
+        "sum_b": int(px[:, :, 0].sum()), "sum_g": int(px[:, :, 1].sum()),
+        "sum_r": int(px[:, :, 2].sum()), "top_row_sum": int(px[0].sum()),
+    }
+
+
+def test_bmp_top_down_variant_and_flip_detection():
+    """A negative-height (top-down) BMP decodes with NO flip; flipping
+    matters: for the same pixel bytes the two orientations must disagree
+    on top_row_sum whenever h > 1."""
+    import struct
+
+    import numpy as np
+
+    from sketchlib.multimodal import build_bmp, decode_bmp
+
+    px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)
+    blob = bytearray(build_bmp(px))
+    struct.pack_into("<i", blob, 22, -2)  # biHeight = -2: top-down
+    d = decode_bmp(bytes(blob))
+    assert d["height"] == 2
+    # file row 0 (image row 1 of the bottom-up build) is now image row 0
+    assert d["top_row_sum"] == int(px[1].sum())
+    assert d["top_row_sum"] != decode_bmp(build_bmp(px))["top_row_sum"]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b"XX" + b[2:], "bad magic"),
+        (lambda b: b[:40], "truncated header"),
+        (lambda b: b[:-8], "truncated"),
+        (lambda b: _patch(b, 28, "<H", 32), "unsupported"),   # bpp=32
+        (lambda b: _patch(b, 30, "<I", 1), "unsupported"),    # BI_RLE8
+        (lambda b: _patch(b, 18, "<i", 0), "bad dimensions"),  # w=0
+        (lambda b: _patch(b, 26, "<H", 3), "bad info header"),  # planes
+    ],
+)
+def test_bmp_malformed_rejects(mutate, msg):
+    import numpy as np
+
+    from sketchlib.multimodal import BmpError, build_bmp, decode_bmp
+
+    blob = build_bmp(np.zeros((2, 3, 3), dtype=np.uint8))
+    with pytest.raises(BmpError, match=msg):
+        decode_bmp(mutate(blob))
+
+
+def _patch(b: bytes, off: int, fmt: str, val: int) -> bytes:
+    import struct
+
+    out = bytearray(b)
+    struct.pack_into(fmt, out, off, val)
+    return bytes(out)
+
+
+def test_bmp_df_quarantines_malformed(spark, docs):
+    from sketchlib.multimodal import attach_bmp_payload, bmp_dims, decode_bmp_df
+
+    payloads = attach_bmp_payload(
+        docs.where("doc_id IS NOT NULL"), corrupt_every=3
+    )
+    out = decode_bmp_df(payloads, payload_col="bmp")
+    rows = out.collect()
+    assert rows, "no BMP rows decoded"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        if r["doc_id"] % 3 == 0:
+            assert r["bmp_ok"] is False and r["width"] is None
+            assert r["sum_b"] is None and r["top_row_sum"] is None
+        else:
+            assert r["bmp_ok"] is True
+            t = texts[r["doc_id"]].encode("utf-8")
+            w, h = bmp_dims(len(t))
+            assert (r["width"], r["height"]) == (w, h)
+            total = sum(t[k % len(t)] for k in range(w * h * 3))
+            assert r["sum_b"] + r["sum_g"] + r["sum_r"] == total
+            assert r["top_row_sum"] == sum(t[k % len(t)] for k in range(3 * w))
