@@ -164,6 +164,195 @@ def pagerank(
     )
 
 
+# --------------------------------------------------------------------------
+# HyperBall harmonic centrality (Boldi–Vigna 2013): per-node HLL counters of
+# the in-neighborhood ball B_in(v, r) = {u : d(u→v) ≤ r}, grown one radius
+# per round by max-merging each node's counter into its out-neighbors'
+# (B_in(v, r+1) = {v} ∪ ⋃_{u→v} B_in(u, r)). Harmonic centrality
+# H(v) = Σ_{r≥1} (|B(v,r)| − |B(v,r−1)|) / r. Common Crawl's published host
+# ranking is exactly this computation; its iteration state is exactly this
+# repo's HLL registers (kernels/hll.py: max-of-rho, elementwise-max merge) —
+# the mergeable-aggregator pattern of SURVEY §2.3 applied as graph state.
+#
+# In-plan register derivation (engine-exact, both dialects): node hash
+# h = md5-int ∈ [0, 2^52) (the repo's shared cross-engine hash fragment);
+# register index j = h % m (mod-split — the kernel's top-bit split would
+# waste half the index space on a 52-bit hash, documented deviation);
+# geometric word w = (h div m) % 2^32; rho = 33 − bit_length(w) (w = 0 →
+# 33), computed by a generated integer CASE chain — no floats, no libm.
+# Registers are SPARSE (host, j, reg) rows with reg ≥ 1; max-merge is a
+# (host, j) groupBy MAX, so the merged state is deterministic under any
+# partitioning / merge order (the kernel's byte-identity contract).
+#
+# Gate-exact outputs: zq = Σ_j (2^40 >> reg_j) (absent registers contribute
+# 2^40) is an integer register checksum ≈ Z·2^40 where Z is the HLL
+# indicator sum; zeros and reg_sum pin the rest of the state. The raw-
+# estimator surrogate ball_est_milli = (αm²·2^40·1000-ish numerator) div zq
+# uses the RATIONAL alpha (m ≤ 64: α = 709/1000 at m = 64) so it is pure
+# BIGINT arithmetic; harmonic_q accumulates (ΔE) div r. The float estimate
+# with the small-range linear-counting correction (log — libm, NOT
+# cross-engine-exact) lives in hb_estimate() for pytest accuracy checks
+# against exact BFS only.
+#
+# Scale shape: the corpus never enters — input is the host edge list. Each
+# round is ONE regs⋈edges equi-join on src + ONE (host, j) max-agg (map-side
+# combined), eagerly localCheckpointed (the pagerank lineage rule). State is
+# O(nodes · m) sparse rows of 8-byte ints; at 10⁹ hosts and m = 64 that is
+# the HyperBall paper's memory story, hash-partitioned instead of in-core.
+
+#: register-checksum fixed-point scale (2^40; max rho = 33 keeps 2^40 >> rho
+#: exact).
+HB_ZQ_SCALE = 1 << 40
+#: rational alpha numerators per p (denominator 1000) — kernels/hll._alpha's
+#: published small-m constants; only these p values admit the integer
+#: estimator surrogate.
+HB_ALPHA_NUM = {4: 673, 5: 697, 6: 709}
+
+
+def _idiv(dialect: str) -> str:
+    return " div " if dialect == "spark" else " // "
+
+
+def hb_rho_case(col: str) -> str:
+    """bit-portable rho(w) = 33 − bit_length(w) for w ∈ [0, 2^32) as a
+    generated integer CASE chain — identical literal in both dialects
+    (comparisons against power-of-two constants only)."""
+    arms = " ".join(f"WHEN {col} >= {1 << k} THEN {32 - k}" for k in range(31, -1, -1))
+    return f"CAST(CASE WHEN {col} = 0 THEN 33 {arms} END AS BIGINT)"
+
+
+def hb_register_sql(dialect: str, host: str = "host", p: int = 6) -> tuple[str, str, str]:
+    """(h, j, w) SQL fragments deriving a node's singleton register from
+    its host string — shared by the Spark plan and the DuckDB oracle so
+    the hash layout cannot diverge (the host_pair_exprs discipline)."""
+    m = 1 << p
+    h = _md5i(dialect, f"'hb-node:' || {host}")
+    return (
+        h,
+        f"(__h % {m})",
+        f"((__h{_idiv(dialect)}{m}) % {1 << 32})",
+    )
+
+
+def hyperball(edge_df: DataFrame, radius: int = 3, p: int = 6) -> DataFrame:
+    """HyperBall over a directed edge list ``(src, dst, ...)``: one row per
+    (host, radius ∈ [0, radius]) with the engine-exact register summary
+    ``(zq, zeros, reg_sum)`` and — for p ≤ 6 (rational alpha) — the integer
+    raw-estimator surrogate ``ball_est_milli`` and its cumulative harmonic
+    accumulation ``harmonic_q`` (all BIGINT; see module comment block).
+
+    Each round: regs ⋈ edges on src (counters flow u → v along u→v edges,
+    growing the IN-ball of v) + a (host, j) max-merge, localCheckpointed so
+    K rounds never nest K join plans."""
+    m = 1 << p
+    edges = edge_df.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    h_sql, j_sql, w_sql = hb_register_sql("spark", "host", p)
+    regs = (
+        nodes.selectExpr("host", f"CAST({h_sql} AS BIGINT) AS __h")
+        .selectExpr("host", f"CAST({j_sql} AS BIGINT) AS j", f"CAST({w_sql} AS BIGINT) AS __w")
+        .selectExpr("host", "j", f"{hb_rho_case('__w')} AS reg")
+        .localCheckpoint(eager=True)
+    )
+
+    def summarize(r: DataFrame, rad: int) -> DataFrame:
+        return (
+            r.groupBy("host")
+            .agg(
+                F.expr(f"CAST({m} - count(1) AS BIGINT)").alias("zeros"),
+                F.expr(
+                    f"CAST(sum(shiftright(CAST({HB_ZQ_SCALE} AS BIGINT),"
+                    " CAST(reg AS INT))) AS BIGINT)"
+                ).alias("__zqp"),
+                F.expr("CAST(sum(reg) AS BIGINT)").alias("reg_sum"),
+            )
+            .selectExpr(
+                "host",
+                f"CAST({rad} AS BIGINT) AS radius",
+                f"CAST(zeros * {HB_ZQ_SCALE} + __zqp AS BIGINT) AS zq",
+                "zeros",
+                "reg_sum",
+            )
+        )
+
+    parts = [summarize(regs, 0)]
+    for rad in range(1, radius + 1):
+        prop = edges.join(regs.withColumnRenamed("host", "src"), "src").select(
+            F.col("dst").alias("host"), "j", "reg"
+        )
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("host", "j")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(summarize(regs, rad))
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    if p not in HB_ALPHA_NUM:
+        return out
+    num = HB_ALPHA_NUM[p] * m * m * HB_ZQ_SCALE  # < 2^62 for p ≤ 6
+    est = out.selectExpr("*", f"CAST({num} div zq AS BIGINT) AS ball_est_milli")
+    # ΔE ≥ 0 (registers only grow → zq only shrinks), but guard with
+    # greatest(0, ·) anyway: Spark div truncates where DuckDB // floors, so
+    # a negative operand would be a silent cross-engine divergence. Two
+    # projection layers — a lag window can't nest inside a sum window.
+    return est.selectExpr(
+        "*",
+        "CAST(CASE WHEN radius = 0 THEN 0 ELSE greatest(0,"
+        " ball_est_milli - lag(ball_est_milli) OVER"
+        " (PARTITION BY host ORDER BY radius)) div radius END AS BIGINT)"
+        " AS __term",
+    ).selectExpr(
+        "host",
+        "radius",
+        "zq",
+        "zeros",
+        "reg_sum",
+        "ball_est_milli",
+        "CAST(sum(__term) OVER (PARTITION BY host ORDER BY radius"
+        " ROWS UNBOUNDED PRECEDING) AS BIGINT) AS harmonic_q",
+    )
+
+
+def host_harmonic(docs: DataFrame, radius: int = 3, p: int = 6) -> DataFrame:
+    """HyperBall harmonic centrality over the md5 host fixture graph."""
+    return hyperball(host_graph(docs), radius=radius, p=p)
+
+
+def hb_estimate(zq: int, zeros: int, m: int) -> float:
+    """Float HLL estimate from the integer register summary — the kernel's
+    estimator (kernels/hll.py:59) incl. the small-range linear-counting
+    correction. Python/libm only (tests; NOT cross-engine-exact)."""
+    import math
+
+    z = zq / HB_ZQ_SCALE
+    from sketchlib.kernels.hll import _alpha
+
+    e = _alpha(m) * m * m / z
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
+
+
+def hb_harmonic_float(summaries: list[tuple[int, int, int]], m: int) -> float:
+    """Float harmonic centrality from per-radius (radius, zq, zeros) rows
+    (radius-ascending): Σ_r (|B(r)| − |B(r−1)|)/r on corrected estimates."""
+    rows = sorted(summaries)
+    total, prev = 0.0, None
+    for rad, zq, zeros in rows:
+        est = hb_estimate(zq, zeros, m)
+        if rad > 0:
+            total += max(0.0, est - prev) / rad
+        prev = est
+    return total
+
+
 def _crawl_stats_build(docs: DataFrame) -> DataFrame:
     """The ONE corpus-sized stage of :func:`host_crawl_priority`, split
     out pre-checkpoint so tools/explain_plans.py can assert its shape

@@ -805,7 +805,7 @@ _GATE_FRONT = [
     "sampling_suite",
     # --- new in r8 — first driver gating (uncommented as each lands)
     "mm_decode_bmp",                 # real pure-numpy BMP decode (VERDICT r7 #3)
-    # "web_host_harmonic",           # HyperBall harmonic centrality (VERDICT r7 #4)
+    "web_host_harmonic",             # HyperBall harmonic centrality (VERDICT r7 #4)
     # "ann_ivf_pq_topk",             # IVF + product quantization (VERDICT r7 #6)
     # --- last driver green r6 (two-round rule)
     "ann_cosine_topk",

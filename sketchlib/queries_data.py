@@ -491,6 +491,83 @@ def web_link_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_pagerank(_docs(spark, sf_dir))
 
 
+def _harmonic_oracle(radius: int = 3, p: int = 6) -> str:
+    """HyperBall checked against GROUND TRUTH, not a replay: the oracle
+    computes exact bounded-radius distances with a recursive CTE, takes
+    each node's true ball B_in(v, r) = {u : d(u→v) ≤ r}, and derives the
+    register state from the mathematical identity reg_j(v, r) =
+    max{rho(u) : u ∈ B_in(v, r), idx(u) = j} — so a Spark-side max-merge
+    that ever under- or over-propagates a counter hash-mismatches. The
+    per-node (idx, rho) derivation is the shared hb_register_sql /
+    hb_rho_case fragments (md5 hash, mod split, generated integer CASE —
+    no floats, no libm), and all downstream arithmetic is BIGINT with the
+    div-vs-floor guard, so every column is engine-exact."""
+    from sketchlib.graphops import (
+        HB_ALPHA_NUM,
+        HB_ZQ_SCALE,
+        hb_register_sql,
+        hb_rho_case,
+        host_edges_sql,
+    )
+
+    m = 1 << p
+    h, j, w = hb_register_sql("duckdb", "host", p)
+    num = HB_ALPHA_NUM[p] * m * m * HB_ZQ_SCALE
+    radii = ", ".join(f"({r})" for r in range(radius + 1))
+    return f"""WITH RECURSIVE
+hb_e0 AS ({host_edges_sql('duckdb')}),
+hb_e AS (SELECT DISTINCT src, dst FROM hb_e0),
+hb_nodes AS (SELECT src AS host FROM hb_e UNION SELECT dst FROM hb_e),
+hb_h AS (SELECT host, CAST({h} AS BIGINT) AS __h FROM hb_nodes),
+hb_reg AS (SELECT host, CAST({j} AS BIGINT) AS j,
+           {hb_rho_case(f"({w})")} AS reg FROM hb_h),
+hb_reach(u, v, d) AS (
+  SELECT host, host, 0 FROM hb_nodes
+  UNION
+  SELECT r.u, e.dst, r.d + 1 FROM hb_reach r JOIN hb_e e ON e.src = r.v
+  WHERE r.d < {radius}),
+hb_mind AS (SELECT u, v, MIN(d) AS md FROM hb_reach GROUP BY 1, 2),
+hb_radii AS (SELECT CAST(x AS BIGINT) AS radius FROM (VALUES {radii}) t(x)),
+hb_ball AS (SELECT mi.v AS host, r.radius, g.j, MAX(g.reg) AS reg
+            FROM hb_mind mi
+            JOIN hb_radii r ON mi.md <= r.radius
+            JOIN hb_reg g ON g.host = mi.u
+            GROUP BY 1, 2, 3),
+hb_sums AS (SELECT host, radius,
+            CAST(({m} - count(*)) * {HB_ZQ_SCALE}
+                 + sum({HB_ZQ_SCALE} >> CAST(reg AS INT)) AS BIGINT) AS zq,
+            CAST({m} - count(*) AS BIGINT) AS zeros,
+            CAST(sum(reg) AS BIGINT) AS reg_sum
+            FROM hb_ball GROUP BY 1, 2),
+hb_est AS (SELECT host, radius, zq, zeros, reg_sum,
+           CAST({num} // zq AS BIGINT) AS ball_est_milli FROM hb_sums),
+hb_term AS (SELECT *, CAST(CASE WHEN radius = 0 THEN 0 ELSE greatest(0,
+            ball_est_milli - lag(ball_est_milli) OVER
+            (PARTITION BY host ORDER BY radius)) // radius END AS BIGINT)
+            AS t FROM hb_est)
+SELECT host, radius, zq, zeros, reg_sum, ball_est_milli,
+       CAST(sum(t) OVER (PARTITION BY host ORDER BY radius
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS harmonic_q
+FROM hb_term"""
+
+
+@register("web_host_harmonic", _harmonic_oracle())
+def web_host_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall harmonic centrality over the host graph (VERDICT r7 #4;
+    Boldi–Vigna 2013 — the algorithm behind Common Crawl's published host
+    ranking), with this repo's HLL registers as the per-node iteration
+    state: sparse max-of-rho counters grown one radius per round by a
+    regs⋈edges join + (host, j) max-merge (the mergeable-aggregator
+    pattern of SURVEY §2.3 as graph state). Output is the engine-exact
+    integer register summary per (host, radius) plus the rational-alpha
+    estimator surrogate and its harmonic accumulation; the oracle derives
+    the same registers from EXACT recursive-CTE distances, so the gate
+    checks the iterated max-merge against ground-truth reachability."""
+    from sketchlib.graphops import host_harmonic
+
+    return host_harmonic(_docs(spark, sf_dir), radius=3, p=6)
+
+
 def _manifest_oracle(n_shards: int = 16) -> str:
     from sketchlib.textops import token_count_sql
     from sketchlib.urlops import _md5i

@@ -92,6 +92,7 @@ FUZZ_QUERIES = [
     "web_host_pagerank",
     "web_host_pagerank_dangling",
     "web_link_pagerank",
+    "web_host_harmonic",
     "train_val_split",
     "web_curation_pipeline_e2e",
     "curation_funnel_stats",

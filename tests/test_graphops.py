@@ -153,3 +153,103 @@ def test_pagerank_dangling_redistribution_carries_mass(spark):
     assert redist == want_r
     assert redist != base
     assert all(redist[n] >= base[n] for n in base)  # share only adds mass
+
+
+def _hand_hyperball(edges, radius, p):
+    """Pure-Python HyperBall ground truth: exact BFS balls + md5 registers
+    (the same mod-split/rho layout as graphops.hb_register_sql)."""
+    import hashlib
+
+    m = 1 << p
+    nodes = sorted({s for s, d in edges} | {d for s, d in edges})
+    succ = {}
+    for s, d in edges:
+        succ.setdefault(s, set()).add(d)
+    # exact distance d(u→v) ≤ radius via BFS from each u
+    dist = {}
+    for u in nodes:
+        frontier, seen, d = {u}, {u: 0}, 0
+        while frontier and d < radius:
+            d += 1
+            frontier = {w for v in frontier for w in succ.get(v, ())} - set(seen)
+            for w in frontier:
+                seen[w] = d
+        for v, dd in seen.items():
+            dist[(u, v)] = dd
+    regs_of = {}
+    for n in nodes:
+        h = int(hashlib.md5(f"hb-node:{n}".encode()).hexdigest()[:13], 16)
+        w = (h // m) % (1 << 32)
+        regs_of[n] = (h % m, 33 - w.bit_length() if w else 33)
+    out = {}
+    for v in nodes:
+        for r in range(radius + 1):
+            ball = [u for u in nodes if dist.get((u, v), 99) <= r]
+            regs = {}
+            for u in ball:
+                j, rho = regs_of[u]
+                regs[j] = max(regs.get(j, 0), rho)
+            zq = (m - len(regs)) * (1 << 40) + sum((1 << 40) >> x for x in regs.values())
+            out[(v, r)] = (zq, m - len(regs), sum(regs.values()), len(ball))
+    return out
+
+
+def test_hyperball_matches_exact_balls(spark):
+    """The iterated max-merge reproduces the register state of the TRUE
+    in-neighborhood ball at every (node, radius) — exact BFS ground truth
+    on a 25-node random digraph, radius 4."""
+    from sketchlib.graphops import hyperball
+
+    edges = sorted({(f"n{(i * 13 + 5) % 25}", f"n{(i * 7 + 2) % 25}") for i in range(60)})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["host"], r["radius"]): (r["zq"], r["zeros"], r["reg_sum"])
+        for r in hyperball(df, radius=4, p=6).collect()
+    }
+    want = _hand_hyperball(edges, 4, 6)
+    assert got == {k: v[:3] for k, v in want.items()}
+
+
+def test_hyperball_partitioning_invariant(spark):
+    """Identical rows through 1 and 13 input partitions — the max-merge
+    is order/partitioning-free (the kernel's byte-identity contract)."""
+    from sketchlib.graphops import hyperball
+
+    edges = [(f"n{(i * 13 + 5) % 20}", f"n{(i * 7 + 2) % 20}") for i in range(50)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(map(tuple, hyperball(df.repartition(1), 3, p=6).collect()))
+    b = sorted(map(tuple, hyperball(df.repartition(13), 3, p=6).collect()))
+    assert a == b and len(a) == 20 * 4
+
+
+def test_hyperball_harmonic_accuracy_vs_exact(spark, sf_dir):
+    """Float harmonic centrality from the sketch (p=12 → 1.6% register
+    error) vs EXACT harmonic centrality from BFS distances on the real
+    40-host fixture graph: every host within 3σ-ish relative tolerance,
+    and the top-5 ranking overlaps ≥ 4/5."""
+    from sketchlib.graphops import hb_harmonic_float, host_graph, hyperball
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = host_graph(docs)
+    edges = [(r["src"], r["dst"]) for r in g.select("src", "dst").collect()]
+    rows = hyperball(g, radius=6, p=12).collect()
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append((r["radius"], r["zq"], r["zeros"]))
+    est = {h: hb_harmonic_float(v, 1 << 12) for h, v in per_host.items()}
+    exact = {}
+    want = _hand_hyperball(edges, 6, 12)
+    for (v, r), (_, _, _, ball) in want.items():
+        exact.setdefault(v, {})[r] = ball
+    truth = {
+        v: sum((b[r] - b[r - 1]) / r for r in range(1, 7))
+        for v, b in exact.items()
+    }
+    assert set(est) == set(truth)
+    tol = 3 * 1.04 / (1 << 6) + 0.03  # 3·(1.04/√4096) + slack, relative
+    for h in truth:
+        if truth[h] > 0:
+            assert abs(est[h] - truth[h]) / truth[h] <= tol, (h, est[h], truth[h])
+    top_est = sorted(est, key=est.get, reverse=True)[:5]
+    top_tru = sorted(truth, key=truth.get, reverse=True)[:5]
+    assert len(set(top_est) & set(top_tru)) >= 4
