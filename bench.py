@@ -567,6 +567,68 @@ def main():
         lambda: host_crawl_priority(docs).agg(F.sum("sum_quality")).collect(),
     )
 
+    # r8 additions (VERDICT r7 #7: every new operator benched in-round):
+    # HyperBall harmonic centrality, the real BMP decode path, and the
+    # IVFPQ index build + probe (build is the one-time amortized cost —
+    # dominated by the 3 encode passes over 256 literal code distances —
+    # probe is the recurring per-query cost)
+    import tempfile as _tf
+
+    from sketchlib.graphops import host_harmonic
+    from sketchlib.multimodal import attach_bmp_payload, decode_bmp_df
+    from sketchlib.similarity import (
+        clustered_embeddings,
+        ivf_pq_topk,
+        write_ivf_pq_index,
+    )
+
+    timed(
+        "web_host_harmonic",
+        lambda: host_harmonic(docs, radius=3, p=6).agg(F.sum("harmonic_q")).collect(),
+    )
+    timed(
+        "mm_decode_bmp",
+        lambda: decode_bmp_df(
+            attach_bmp_payload(
+                docs.where(F.col("doc_id").isNotNull()).select("doc_id", "text"),
+                corrupt_every=97,
+            ),
+            payload_col="bmp",
+        ).agg(F.sum("sum_b")).collect(),
+    )
+    from sketchlib.multimodal import attach_wav_payload, decode_wav_df
+
+    timed(
+        "mm_decode_wav",
+        lambda: decode_wav_df(
+            attach_wav_payload(
+                docs.where(F.col("doc_id").isNotNull()).select("doc_id", "text"),
+                corrupt_every=97,
+            ),
+            payload_col="wav",
+        ).agg(F.sum("energy")).collect(),
+    )
+    emb_pq = clustered_embeddings(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS),
+        n_clusters=16,
+        amp=0.0625,
+    )
+    _pq_dir = _tf.mkdtemp(prefix="sketchlib-bench-ivfpq-")
+    _pq_idx = os.path.join(_pq_dir, "index")
+    timed(
+        "ann_ivf_pq_build",
+        lambda: write_ivf_pq_index(
+            emb_pq, _pq_idx, k=16, n_sub=16, ksub=16, lloyd_iters=2
+        ),
+    )
+    _pq_q = emb_pq.filter(F.col("vec_id") == 0).first()["embedding"]
+    timed(
+        "ann_ivf_pq_probe",
+        lambda: ivf_pq_topk(
+            spark, _pq_idx, _pq_q, k=10, nprobe=2, shortlist=30, rescore_src=emb_pq
+        ).count(),
+    )
+
     from sketchlib.dedup import benchmark_span_overlap
     from sketchlib.relops import priority_sample, sample_by_hash
 

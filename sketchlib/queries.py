@@ -805,8 +805,9 @@ _GATE_FRONT = [
     "sampling_suite",
     # --- new in r8 — first driver gating (uncommented as each lands)
     "mm_decode_bmp",                 # real pure-numpy BMP decode (VERDICT r7 #3)
+    "mm_decode_wav",                 # real RIFF/WAVE PCM decode (r7 #3's audio half)
     "web_host_harmonic",             # HyperBall harmonic centrality (VERDICT r7 #4)
-    # "ann_ivf_pq_topk",             # IVF + product quantization (VERDICT r7 #6)
+    "ann_ivf_pq_topk",               # IVF + product quantization (VERDICT r7 #6)
     # --- last driver green r6 (two-round rule)
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -839,8 +840,8 @@ _GATE_FRONT = [
     "vocab_top100",
     "web_curation_pipeline_e2e",
     # --- fill (r7-greens, chosen to be OUTSIDE the r9 cf_*/single-sketch
-    # consolidation set so r9's must-front load shrinks)
-    "ann_lsh_topk",
+    # consolidation set so r9's must-front load shrinks; ann_lsh_topk
+    # ceded its fill slot to mm_decode_wav — it stays r7-green-covered)
     "builtin_sketch_crosscheck",
     "cross_doc_span_dedup",
     "decontaminate_n13",

@@ -23,6 +23,8 @@ the partitions inside the Hamming ball are read.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -85,6 +87,7 @@ def clustered_embeddings(
     n_clusters: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    amp: float = 0.5,
 ) -> DataFrame:
     """Deterministic mixture-of-clusters derivation over a raw embedding
     table: vector ``i`` moves to cluster ``i % n_clusters``, whose center
@@ -98,15 +101,25 @@ def clustered_embeddings(
 
     Cross-engine bit-exact by construction (the k-means parity
     requirement): integer modular arithmetic, a cast, one EXACT multiply
-    by 0.5 (a power of two), and ONE IEEE add of the float-exact original
-    component — the same value bit-for-bit in Spark and DuckDB
-    (queries_data._CLUSTERED_EMB_SQL mirrors this expression)."""
+    by ``amp`` (must be a power of two — asserted), and ONE IEEE add of
+    the float-exact original component — the same value bit-for-bit in
+    Spark and DuckDB (queries_data._clustered_emb_sql mirrors this
+    expression).
+
+    ``amp`` sets the center-to-noise regime: the default 0.5 gives center
+    norms ~12 vs noise ~0.5 — every cosine collapses into [0.995, 1] (a
+    coarse quantizer separates LISTS perfectly, which is what the IVF
+    gate needs, but no quantized code can rank WITHIN a list). amp =
+    0.0625 gives center ~1.5 vs noise ~1 — within-cluster cosine gaps
+    ≫ PQ reconstruction error, the regime an ADC shortlist is FOR."""
+    m, e = math.frexp(amp)
+    assert m == 0.5, "amp must be a power of two (exact multiply contract)"
     return valid_embeddings(emb, vec_col).select(
         id_col,
         F.expr(
             f"transform({vec_col}, (x, j) -> "
             f"CAST((({id_col} % {n_clusters}) * 37 + j * 11) % 13 - 6 AS DOUBLE)"
-            " * 0.5D + CAST(x AS DOUBLE))"
+            f" * {amp!r}D + CAST(x AS DOUBLE))"
         ).alias(vec_col),
     )
 
@@ -725,3 +738,391 @@ def lsh_cosine_topk(
         F.bit_count(F.col("__sig").bitwiseXOR(F.lit(qsig))) <= hamming_probe
     )
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF + product quantization (IVFPQ — Jégou et al. 2011): the 100-TB
+# embedding story. The index stores n_sub 4-bit-ish codes per vector
+# (here 8×log2(16) = 4 bytes vs 512 bytes of raw float64), partitioned by
+# the IVF coarse centroid; a probe reads ONLY the nprobe best centroid
+# directories and ONLY the codes column, ranks candidates by asymmetric
+# distance computed from a tiny per-query lookup table, then exact-rescores
+# a bounded shortlist. PQ codes quantize the RESIDUAL (vector − its coarse
+# centroid), the variant that keeps the codebooks sharp once IVF has
+# removed the between-cluster variance.
+#
+# Everything downstream of the (already gate-proven) float centroid chain
+# is INTEGER arithmetic, hence engine-exact and oracle-replayable with zero
+# literals: residuals quantize to floor((x − c)·2^20) BIGINTs (exact
+# power-of-two multiply, IEEE-identical subtraction), subspace Lloyd
+# training assigns by exact integer squared-L2 argmin (ties → smallest
+# code) and updates centroids by floor-divided exact integer sums, and the
+# ADC score is a pure BIGINT dot-product sum. No float enters any ordering
+# except the final exact re-score (ROUND(·, 9) — the repo's pinned cosine
+# contract).
+#
+# Scale shape: training = iters × (one zero-join codes projection over
+# literal codebooks + ONE (sub, pos, code) exchange, map-side combined,
+# output bounded at n_sub·ksub·dsub rows); encoding = a zero-shuffle
+# projection; probing = partition-pruned codes-only scan + literal-LUT
+# projection + TakeOrderedAndProject. Only bounded artifacts (codebooks,
+# per-query LUTs, the shortlist) ever reach the driver.
+
+#: fixed-point scale for PQ residual quantization (2^20 — exact multiply).
+PQ_QSCALE = 1 << 20
+
+
+def _pq_chunk(col: str, s: int, dsub: int) -> str:
+    """1-based slice of subspace ``s`` from a flat array column."""
+    return f"slice({col}, {s * dsub + 1}, {dsub})"
+
+
+def _pq_dist_expr(rq_col: str, cb_sub: list, s: int, dsub: int) -> str:
+    """Integer squared-L2 distances of one vector's subspace chunk against
+    every code of ``cb_sub`` (a python list of ksub dsub-length int lists),
+    as an in-plan array expression over LITERAL codebooks (the hyperplane-
+    literal pattern — codebooks are tiny constants at any corpus size).
+    zip_with over a slice references the array once per row (CLAUDE.md r3:
+    never transform(sequence) over an expensive alias)."""
+    lits = ", ".join(
+        "array(" + ", ".join(f"{int(x)}L" for x in code) + ")" for code in cb_sub
+    )
+    return (
+        f"transform(array({lits}), cb -> aggregate(zip_with("
+        f"{_pq_chunk(rq_col, s, dsub)}, cb, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, t) -> a + t))"
+    )
+
+
+def _pq_codes_expr(rq_col: str, codebooks: list, dsub: int) -> str:
+    """codes array (one int per subspace): argmin of the integer distance
+    array, first-minimum tie-break == smallest code (array_position scans
+    code order)."""
+    parts = []
+    for s, cb_sub in enumerate(codebooks):
+        d = _pq_dist_expr(rq_col, cb_sub, s, dsub)
+        parts.append(
+            f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+        )
+    return "array(" + ", ".join(parts) + ")"
+
+
+def pq_residuals(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """((id, centroid, rq), (centroid, cmq)): IVF-assign each vector (the
+    gate-proven float max-dot argmax on the NORMALIZED cvn), then move to
+    the quantized-integer domain and never leave it: xq =
+    floor(x·2^20) per component (exact multiply), cmq[centroid] = the
+    per-list component-wise floor-divided EXACT integer mean of its
+    members' xq (one map-side-combined (centroid, pos) exchange, output
+    bounded at k·dim rows), residual rq = xq − cmq — pure BIGINT
+    subtraction, no float arithmetic anywhere downstream.
+
+    Residuals against the MEAN (not the unit-normalized cvn) is the
+    actual IVFPQ construction: subtracting cvn leaves nearly the whole
+    cluster offset in the residual, every list member then quantizes to
+    the same codes, and ADC cannot rank within a list (the bug this
+    docstring's shape fixed).
+
+    The quantized domain holds NORMALIZED vectors, so the ADC inner
+    product approximates COSINE (the metric every ranking in this module
+    uses — raw-IP ADC ranks within a list by noise·center, nearly
+    orthogonal to cosine). Normalization is engine-exact end to end:
+    x0 = floor(x·2^20) (exact multiply), n2 = Σ x0² (exact BIGINT),
+    r = floor(sqrt(n2)) — sqrt of an int-valued double ≤ 2^53 is
+    IEEE-correctly-rounded, identical everywhere — and
+    xq = floordiv(x0·2^20, r), so xq ≈ unit-norm at scale 2^20 with zero
+    float comparisons. r is clamped to ≥ 1: a valid-contract vector with
+    norm < ~2^-10 quantizes to near-zero x0 and earns deterministic
+    (garbage-but-defined) codes rather than a divide-by-zero."""
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    v = as_double(vec_col)
+    S = float(PQ_QSCALE)
+    xq = (
+        assigned.select(
+            id_col,
+            "centroid",
+            F.expr(
+                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
+                f" x -> CAST(floor(x * {S}D) AS BIGINT))"
+            ).alias("__x0"),
+        )
+        .selectExpr(
+            id_col,
+            "centroid",
+            "__x0",
+            "greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(CAST("
+            "aggregate(transform(__x0, a -> a * a), CAST(0 AS BIGINT),"
+            " (acc, t) -> acc + t) AS DOUBLE))) AS BIGINT)) AS __r",
+        )
+        .selectExpr(
+            id_col,
+            "centroid",
+            # exact floor division (a·2^20 may be negative; Spark div
+            # truncates toward zero — the CLAUDE.md div-vs-floor trap)
+            f"transform(__x0, a -> (a * {PQ_QSCALE}) div __r"
+            f" - (CASE WHEN (a * {PQ_QSCALE}) % __r != 0 AND a < 0"
+            " THEN 1 ELSE 0 END)) AS __xq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    cmq = (
+        xq.select("centroid", F.posexplode("__xq").alias("pos", "q"))
+        .groupBy("centroid", "pos")
+        .agg(F.expr("CAST(sum(q) AS BIGINT) AS s"), F.count(F.lit(1)).alias("n"))
+        .groupBy("centroid")
+        .agg(
+            # exact BIGINT floor division (Spark div truncates toward zero
+            # where python/DuckDB floor — the CLAUDE.md div-vs-floor trap,
+            # here on genuinely-negative component sums)
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s, n))),"
+                " p -> CAST(p.s div p.n - (CASE WHEN p.s % p.n != 0"
+                " AND p.s < 0 THEN 1 ELSE 0 END) AS BIGINT))"
+            ).alias("cmq")
+        )
+    )
+    rq = (
+        xq.join(F.broadcast(cmq), "centroid")
+        .select(
+            id_col,
+            "centroid",
+            F.expr("zip_with(__xq, cmq, (a, b) -> a - b)").alias("rq"),
+        )
+    )
+    return rq, cmq
+
+
+def pq_train_codebooks(
+    rq_df: DataFrame,
+    n_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> list:
+    """Train per-subspace codebooks over quantized residuals with pure
+    INTEGER Lloyd rounds — deterministic under any partitioning/engine:
+
+    - seeds: subspace chunks of the ``ksub`` hash-ordered (md5(id), id)
+      sample rows (the ivf_centroids discipline);
+    - assign: exact integer squared-L2 argmin, ties → smallest code;
+    - update: per-(sub, code, pos) EXACT BIGINT component sums (one
+      map-side-combined exchange, output bounded at n_sub·ksub·dsub rows),
+      floor-divided driver-side (python ``//`` == DuckDB ``//``); empty
+      codes keep their previous centroid.
+
+    Returns python lists: codebooks[s][c] = dsub ints (bounded driver
+    artifact, n_sub·ksub·dsub values)."""
+    first = rq_df.select("rq").first()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks on an empty input")
+    dim = len(first["rq"])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    seeds = (
+        rq_df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(ksub)
+        .select("rq")
+        .collect()
+    )
+    if len(seeds) < ksub:
+        raise ValueError(f"need >= {ksub} rows to seed {ksub} codes")
+    codebooks = [
+        [[int(x) for x in r["rq"][s * dsub:(s + 1) * dsub]] for r in seeds]
+        for s in range(n_sub)
+    ]
+    for _ in range(iters):
+        coded = rq_df.selectExpr(
+            "rq", f"{_pq_codes_expr('rq', codebooks, dsub)} AS __codes"
+        )
+        longf = coded.select(
+            "__codes", F.posexplode("rq").alias("pos", "q")
+        ).selectExpr(
+            f"CAST(pos div {dsub} AS INT) AS sub",
+            f"element_at(__codes, CAST(pos div {dsub} AS INT) + 1) AS code",
+            f"CAST(pos % {dsub} AS INT) AS pos",
+            "q",
+        )
+        sums = (
+            longf.groupBy("sub", "code", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc = {}
+        for r in sums:
+            acc[(r["sub"], r["code"], r["pos"])] = (int(r["s"]), int(r["n"]))
+        for s in range(n_sub):
+            for c in range(ksub):
+                if (s, c, 0) in acc:
+                    codebooks[s][c] = [
+                        acc[(s, c, d)][0] // acc[(s, c, d)][1] for d in range(dsub)
+                    ]
+    return codebooks
+
+
+def write_ivf_pq_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 16,
+    n_sub: int = 8,
+    ksub: int = 16,
+    lloyd_iters: int = 2,
+    pq_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> None:
+    """Materialize the IVFPQ index: codes-only rows partitioned by coarse
+    centroid (``(id, codes)`` — the embedding column never enters the
+    index), plus the centroid table and the trained codebooks
+    (``(sub, code, pos, q)`` long form) beside it."""
+    emb = valid_embeddings(emb, vec_col)
+    if cents is None:
+        cents = ivf_centroids(emb, k, id_col, vec_col)
+    if lloyd_iters:
+        cents = lloyd_refine(emb, cents, lloyd_iters, id_col, vec_col)
+    cents = cents.localCheckpoint(eager=True)
+    rq, cmq = pq_residuals(emb, cents, id_col, vec_col)
+    rq = rq.localCheckpoint(eager=True)
+    dsub = len(rq.select("rq").first()["rq"]) // n_sub
+    codebooks = pq_train_codebooks(rq, n_sub, ksub, pq_iters, id_col)
+    spark = emb.sparkSession
+    cents.write.mode("overwrite").parquet(path + "_centroids")
+    cmq.write.mode("overwrite").parquet(path + "_cmeans")
+    cb_rows = [
+        (s, c, d, int(q))
+        for s, cb_sub in enumerate(codebooks)
+        for c, code in enumerate(cb_sub)
+        for d, q in enumerate(code)
+    ]
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, pos int, q long"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
+    rq.selectExpr(
+        id_col, "centroid", f"{_pq_codes_expr('rq', codebooks, dsub)} AS codes"
+    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
+
+
+def pq_adc_shortlist(
+    spark: SparkSession,
+    index_path: str,
+    query_vec,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The UN-checkpointed ADC shortlist frame (the pre-materialization
+    builder, factored out so tools/explain_plans.py can assert the probe
+    shape — the textops._pack_layout precedent): rank centroids
+    driver-side (the ivf_topk discipline), scan ONLY the nprobe best
+    centroid directories and ONLY the codes column, score each candidate
+    by the integer asymmetric distance IP(q, c) + IP(q, r̃) — both terms
+    BIGINT sums over the per-query lookup table (n_sub·ksub entries,
+    computed driver-side and inlined as literals) — and keep the
+    ``shortlist`` best (TakeOrderedAndProject)."""
+    _require_valid_query(query_vec)
+    q = [float(x) for x in query_vec]
+    cents = spark.read.parquet(index_path + "_centroids").collect()
+
+    def seq_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    ranked = sorted(((-seq_dot(q, r["cvn"]), r["cid"]) for r in cents))
+    probe = ranked[:nprobe]
+    import math
+
+    # the query enters the SAME engine-exact normalized-quantized domain
+    # as pq_residuals: floor products, exact integer norm², IEEE isqrt,
+    # python // (floors — matches the in-plan guarded floordiv)
+    x0 = [math.floor(x * float(PQ_QSCALE)) for x in q]
+    r0 = max(1, math.floor(math.sqrt(float(sum(a * a for a in x0)))))
+    qq = [(a * PQ_QSCALE) // r0 for a in x0]
+    # IP(q, list MEAN) per probed list — exact ints at scale 2^40 (cmq is
+    # the quantized mean the residuals were taken against)
+    means = {
+        r["centroid"]: r["cmq"]
+        for r in spark.read.parquet(index_path + "_cmeans").collect()
+    }
+    ip_cent = {
+        cid: sum(a * b for a, b in zip(qq, means[cid])) for _, cid in probe
+    }
+    cb = spark.read.parquet(index_path + "_codebooks").collect()
+    n_sub = max(r["sub"] for r in cb) + 1
+    ksub = max(r["code"] for r in cb) + 1
+    dsub = max(r["pos"] for r in cb) + 1
+    lut = [[0] * ksub for _ in range(n_sub)]
+    comp = {}
+    for r in cb:
+        comp[(r["sub"], r["code"], r["pos"])] = r["q"]
+    for s in range(n_sub):
+        for c in range(ksub):
+            lut[s][c] = sum(
+                qq[s * dsub + d] * comp[(s, c, d)] for d in range(dsub)
+            )
+    cand = spark.read.parquet(index_path).filter(
+        F.col("centroid").isin([cid for _, cid in probe])
+    )
+    cent_term = "CASE " + " ".join(
+        f"WHEN centroid = {cid} THEN {v}L" for cid, v in ip_cent.items()
+    ) + " END"
+    lut_terms = " + ".join(
+        "element_at(array("
+        + ", ".join(f"{v}L" for v in lut[s])
+        + f"), element_at(codes, {s + 1}) + 1)"
+        for s in range(n_sub)
+    )
+    return (
+        cand.selectExpr(id_col, f"CAST({cent_term} + {lut_terms} AS BIGINT) AS adc_q")
+        .orderBy(F.desc("adc_q"), id_col)
+        .limit(shortlist)
+    )
+
+
+def ivf_pq_topk(
+    spark: SparkSession,
+    index_path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    rescore_src: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ probe: the pq_adc_shortlist frame, materialized (eager
+    localCheckpoint — the bounded shortlist feeds two consumers), and,
+    when ``rescore_src`` is given, exact-rescored against the full
+    vectors (a bounded id-keyed broadcast lookup join) for the final
+    top-k.
+
+    Returns (path, id, adc_q): path='adc' = the integer-scored shortlist,
+    path='refined' = the exact-rescored top-k (subset of the shortlist,
+    carrying its adc_q). With ``rescore_src=None`` only the 'adc' rows."""
+    q = [float(x) for x in query_vec]
+    adc = pq_adc_shortlist(
+        spark, index_path, query_vec, nprobe, shortlist, id_col
+    ).localCheckpoint(eager=True)
+    out = adc.select(F.lit("adc").alias("path"), id_col, "adc_q")
+    if rescore_src is None:
+        return out
+    v = as_double(F.col(vec_col))
+    ql = _qlit(q)
+    refined = (
+        valid_embeddings(rescore_src, vec_col)
+        .join(F.broadcast(adc), id_col)
+        # exactly cosine_topk's scoring expression (the proven ROUND(·, 9)
+        # cross-engine parity contract)
+        .withColumn("__cos", F.round(_dot(v, ql) / (_norm(v) * _norm(ql)), 9))
+        .orderBy(F.desc("__cos"), id_col)
+        .limit(k)
+        .select(F.lit("refined").alias("path"), id_col, "adc_q")
+    )
+    return out.unionByName(refined)

@@ -70,6 +70,7 @@ FUZZ_QUERIES = [
     "training_pipeline_e2e",
     "mm_payload_pipeline",
     "mm_decode_bmp",
+    "mm_decode_wav",
     "source_counts_salted",
     "sink_roundtrip_jsonl",
     "decontaminate_vs_holdout",
@@ -319,6 +320,7 @@ EMB_QUERIES = [
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "ann_ivf_clustered_probe",
+    "ann_ivf_pq_topk",
 ]
 
 

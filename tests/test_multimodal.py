@@ -196,3 +196,78 @@ def test_bmp_df_quarantines_malformed(spark, docs):
             total = sum(t[k % len(t)] for k in range(w * h * 3))
             assert r["sum_b"] + r["sum_g"] + r["sum_r"] == total
             assert r["top_row_sum"] == sum(t[k % len(t)] for k in range(3 * w))
+
+
+def test_wav_golden_vector_and_chunk_walk():
+    """Hand-checkable samples through build_wav -> decode_wav, with and
+    without the junk LIST chunk between fmt and data: a decoder that
+    assumes data at offset 44 instead of walking chunks fails the LIST
+    variant."""
+    import struct
+
+    import numpy as np
+
+    from sketchlib.multimodal import build_wav, decode_wav
+
+    s = np.array([0, 1, -1, 32512, -32768, 7], dtype=np.int16)
+    want = {
+        "sample_rate": 22050, "n_samples": 6,
+        "sum_s": int(s.astype(np.int64).sum()),
+        "energy": int((s.astype(np.int64) ** 2).sum()),
+        "peak": 32768,  # |−32768| in int64 — an int16 abs would overflow
+    }
+    plain = build_wav(s, 22050)
+    assert plain[:4] == b"RIFF" and plain[8:12] == b"WAVE"
+    assert struct.unpack_from("<I", plain, 4)[0] == len(plain) - 8
+    assert decode_wav(plain) == want
+    with_junk = build_wav(s, 22050, junk_chunk=True)
+    assert b"LIST" in with_junk and len(with_junk) > len(plain)
+    assert decode_wav(with_junk) == want
+    # data is NOT at the canonical offset in the junk variant
+    assert plain[36:40] == b"data" and with_junk[36:40] != b"data"
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda b: b"XXXX" + b[4:], "bad RIFF/WAVE magic"),
+        (lambda b: b[:10], "bad RIFF/WAVE magic"),
+        (lambda b: b[:-2], "truncated chunk"),
+        (lambda b: _patch(b, 20, "<H", 85), "unsupported fmt"),   # IEEE float
+        (lambda b: _patch(b, 22, "<H", 2), "unsupported fmt"),    # stereo
+        (lambda b: _patch(b, 34, "<H", 8), "unsupported fmt"),    # 8-bit
+        (lambda b: b[:12], "missing fmt/data chunk"),
+    ],
+)
+def test_wav_malformed_rejects(mutate, msg):
+    import numpy as np
+
+    from sketchlib.multimodal import WavError, build_wav, decode_wav
+
+    blob = build_wav(np.zeros(4, dtype=np.int16), 8000)
+    with pytest.raises(WavError, match=msg):
+        decode_wav(mutate(blob))
+
+
+def test_wav_df_quarantines_malformed(spark, docs):
+    from sketchlib.multimodal import attach_wav_payload, decode_wav_df, wav_rate
+
+    payloads = attach_wav_payload(
+        docs.where("doc_id IS NOT NULL"), corrupt_every=3
+    )
+    out = decode_wav_df(payloads, payload_col="wav")
+    rows = out.collect()
+    assert rows, "no WAV rows decoded"
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        if r["doc_id"] % 3 == 0:
+            assert r["wav_ok"] is False and r["sample_rate"] is None
+            assert r["sum_s"] is None and r["energy"] is None
+        else:
+            assert r["wav_ok"] is True
+            t = texts[r["doc_id"]].encode("utf-8")
+            assert r["sample_rate"] == wav_rate(len(t))
+            assert r["n_samples"] == len(t)
+            assert r["sum_s"] == 256 * sum(b - 128 for b in t)
+            assert r["energy"] == 65536 * sum((b - 128) ** 2 for b in t)
+            assert r["peak"] == 256 * max(abs(b - 128) for b in t)

@@ -340,3 +340,77 @@ def test_ivf_clustered_fixture_recall_floor(spark, emb, tmp_path):
     assert np.mean(recalls) >= 0.9, recalls
     assert max(scan_fracs) <= 0.26, scan_fracs
     emb2.unpersist()
+
+
+def test_ivf_pq_recall_floor_and_shortlist_contract(spark, emb, tmp_path):
+    """IVFPQ (VERDICT r7 #6) on the amp=0.0625 clustered fixture — the
+    center≈noise regime where within-list cosine gaps exceed PQ
+    reconstruction error. The refined path (ADC shortlist=30 →
+    exact re-score) must hit recall mean ≥ 0.9 / min ≥ 0.7 vs
+    brute-force exact at nprobe=2 of 16 lists (measured 0.95/0.7 at
+    sf0.001 — fully deterministic integer pipeline, so these are pins,
+    not hopes). Contract checks: refined ids ⊆ adc shortlist ids, the
+    shortlist is exactly `shortlist` rows, and adc_q is BIGINT-valued."""
+    from sketchlib.similarity import clustered_embeddings, ivf_pq_topk, write_ivf_pq_index
+
+    emb2 = clustered_embeddings(emb, n_clusters=16, amp=0.0625).cache()
+    rows = emb2.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    idx = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(emb2, idx, k=16, n_sub=16, ksub=16, lloyd_iters=2)
+    # the index stores ONLY (vec_id, codes) under the centroid partitioning
+    stored = spark.read.parquet(idx)
+    assert set(stored.columns) == {"vec_id", "codes", "centroid"}
+    assert stored.count() == len(ids)
+    recalls = []
+    for qi in (0, 3, 11, 42, 101, 257):
+        q = mat[list(ids).index(qi)].tolist()
+        exact = _exact_topk(ids, mat, q, 10)
+        out = ivf_pq_topk(
+            spark, idx, q, k=10, nprobe=2, shortlist=30, rescore_src=emb2
+        ).collect()
+        adc = {r["vec_id"] for r in out if r["path"] == "adc"}
+        refined = {r["vec_id"] for r in out if r["path"] == "refined"}
+        assert len(adc) == 30
+        assert refined <= adc
+        assert all(isinstance(r["adc_q"], int) for r in out)
+        recalls.append(len(refined & exact) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+    assert min(recalls) >= 0.7, recalls
+    # without a rescore source only the adc shortlist comes back
+    q = mat[0].tolist()
+    only = ivf_pq_topk(spark, idx, q, k=10, nprobe=2, shortlist=30).collect()
+    assert {r["path"] for r in only} == {"adc"}
+    emb2.unpersist()
+
+
+def test_pq_codebooks_deterministic_across_partitioning(spark, emb):
+    """The all-integer PQ training (exact BIGINT sums, guarded floor
+    division, argmin ties → smallest code) makes trained codebooks
+    BIT-identical under any input partitioning — same property the
+    coarse quantizer pins in test_lloyd_refine_deterministic."""
+    from sketchlib.similarity import ivf_centroids, lloyd_refine, pq_residuals, pq_train_codebooks
+
+    cents = lloyd_refine(emb, ivf_centroids(emb, k=8), iters=1).localCheckpoint()
+    rq_a, cmq_a = pq_residuals(emb, cents)
+    rq_b, cmq_b = pq_residuals(emb.repartition(13), cents)
+    cb_a = pq_train_codebooks(rq_a, n_sub=8, ksub=8, iters=2)
+    cb_b = pq_train_codebooks(rq_b.repartition(7), n_sub=8, ksub=8, iters=2)
+    assert cb_a == cb_b
+    # quantized per-list means are exact integers — identical too
+    ma = {r["centroid"]: r["cmq"] for r in cmq_a.collect()}
+    mb = {r["centroid"]: r["cmq"] for r in cmq_b.collect()}
+    assert ma == mb
+
+
+def test_pq_guards(spark, emb):
+    """dim % n_sub != 0 and empty inputs raise instead of mis-slicing."""
+    from sketchlib.similarity import ivf_centroids, pq_residuals, pq_train_codebooks
+
+    cents = ivf_centroids(emb, k=4).localCheckpoint()
+    rq, _ = pq_residuals(emb, cents)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(rq, n_sub=7, ksub=8, iters=1)
+    with pytest.raises(ValueError, match="empty"):
+        pq_train_codebooks(rq.filter("vec_id < 0"), n_sub=8, ksub=8, iters=1)

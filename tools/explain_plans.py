@@ -226,6 +226,36 @@ def main():
             ],
         )
 
+    from sketchlib.similarity import pq_adc_shortlist, write_ivf_pq_index
+
+    with tempfile.TemporaryDirectory(prefix="sketchlib-ivfpq-") as td:
+        pq_path = f"{td}/ivfpq"
+        write_ivf_pq_index(emb, pq_path, k=8, n_sub=8, ksub=8,
+                           lloyd_iters=1, pq_iters=1)
+        q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        show(
+            "IVFPQ ADC probe (codes-only partition-pruned scan, literal LUT, top-k)",
+            pq_adc_shortlist(spark, pq_path, q0, nprobe=2, shortlist=30),
+            checks=[
+                # the index scan must touch ONLY the probed centroid
+                # directories (static partition pruning on the isin filter)
+                ("probe scan carries a centroid partition filter",
+                 lambda p: re.search(r"PartitionFilters: \[centroid#\d+ IN", p)
+                 is not None),
+                # codes-only probe: the embedding column never appears
+                # anywhere below the shortlist (the 100-TB contract — the
+                # index holds 8-B codes, not 512-B vectors)
+                ("no embedding column anywhere in the probe plan",
+                 lambda p: "embedding#" not in p),
+                ("scan reads only vec_id+codes",
+                 lambda p: "ReadSchema: struct<vec_id:bigint,codes:array<int>>" in p),
+                # ADC ranking is a TakeOrderedAndProject over the literal-LUT
+                # projection — per-partition top-k, driver merge, NO exchange
+                ("shortlist via TakeOrderedAndProject, zero exchanges",
+                 lambda p: "TakeOrderedAndProject" in p and "Exchange" not in p),
+            ],
+        )
+
     from sketchlib.relops import asof_join, sample_by_hash
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
