@@ -148,3 +148,40 @@ def test_core14_is_the_frozen_r2_r3_shared_subset():
     r2 = json.load(open("BENCH/r2_local_sf01.json"))
     r3 = json.load(open("BENCH/r3_local_sf01.json"))
     assert sorted(bench.CORE14) == sorted(set(r2["queries"]) & set(r3["queries"]))
+
+
+def test_gate_manifest_detects_changed_entries(tmp_path, monkeypatch):
+    """tools/gate_manifest.py (VERDICT r7 #8): the committed per-entry
+    provenance hash makes the rotation's changed-set mechanical. A
+    tampered hash reports as changed; an absent entry reports as missing;
+    an up-to-date manifest reports neither."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import gate_manifest as gm
+
+    cur = gm.compute_hashes()
+    import sketchlib.queries as q
+
+    assert sorted(cur) == sorted(q.REGISTRY)
+    assert all(len(v["hash"]) == 64 for v in cur.values())
+    # every ann_* entry's hash covers the similarity module (the operator
+    # library edit class the manifest exists to catch)
+    assert "sketchlib.similarity" in cur["ann_ivf_pq_topk"]["modules"]
+
+    man = {k: dict(v) for k, v in cur.items()}
+    victim = "ann_ivf_pq_topk"
+    man[victim] = {**man[victim], "hash": "0" * 64}
+    dropped = "ann_cosine_topk"
+    del man[dropped]
+    p = tmp_path / "GATE_MANIFEST.json"
+    p.write_text(json.dumps(man))
+    monkeypatch.setattr(gm, "MANIFEST_PATH", str(p))
+    changed, missing = gm.changed_entries()
+    assert changed == [victim]
+    assert missing == [dropped]
+
+    p.write_text(json.dumps(cur))
+    changed, missing = gm.changed_entries()
+    assert changed == [] and missing == []

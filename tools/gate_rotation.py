@@ -17,7 +17,9 @@ It reports, in priority order:
      overflows should be the longest-streak stable entries, named in
      _GATE_DEFERRED with a reason).
 Entries whose CODE changed since their last green must be fronted too —
-that is a git question this tool cannot answer; it prints a reminder.
+computed mechanically from GATE_MANIFEST.json (tools/gate_manifest.py,
+committed on final code each round); entries missing from the manifest
+are treated as changed.
 """
 
 from __future__ import annotations
@@ -70,6 +72,13 @@ def main() -> None:
     next_round = latest + 1
     names = list(REGISTRY)
 
+    from gate_manifest import changed_entries
+
+    chg, man_missing = changed_entries()
+    # manifest-missing entries that HAVE a green are code the manifest
+    # never attested — treat as changed (never-green ones front anyway)
+    changed = sorted(set(chg) | {n for n in man_missing if n in last})
+
     never = [n for n in names if n not in last]
     # two-round rule: by next_round, anything last green <= next_round - 2
     # would be stale without a fresh row
@@ -77,19 +86,26 @@ def main() -> None:
         (n for n in names if n in last and last[n] <= next_round - 2),
         key=lambda n: (last[n], n),
     )
+    moved = sorted(
+        n for n in changed if n in last and last[n] > next_round - 2
+    )
     fresh = sorted(
-        (n for n in names if n in last and last[n] > next_round - 2),
+        (n for n in names if n in last and last[n] > next_round - 2
+         and n not in moved),
         key=lambda n: (last[n], n),
     )
 
-    must = never + stale
+    must = never + stale + moved
     print(f"registry entries: {len(names)}; latest CORRECTNESS round: r{latest}; "
           f"planning r{next_round}; window: {window}")
     print(f"\nMUST front ({len(must)}):")
     for n in never:
         print(f"  {n}  (never green)")
     for n in stale:
-        print(f"  {n}  (last green r{last[n]})")
+        tag = " + code changed" if n in changed else ""
+        print(f"  {n}  (last green r{last[n]}{tag})")
+    for n in moved:
+        print(f"  {n}  (last green r{last[n]}, CODE CHANGED since manifest)")
     overflow = len(must) - window
     if overflow > 0:
         print(f"\n!! must-front overflows the window by {overflow} — defer the "
@@ -102,9 +118,12 @@ def main() -> None:
         print(f"\nleft outside the window ({len(fresh) - room}), freshest greens:")
         for n in fresh[room:]:
             print(f"  {n}  (last green r{last[n]})")
-    print("\nreminder: any entry whose CODE changed since its last green must "
-          "also front (check `git log` over the round's diff) — this tool "
-          "only reads CORRECTNESS history.")
+    if not os.path.exists(
+        os.path.join(repo_root, "GATE_MANIFEST.json")
+    ):
+        print("\n!! GATE_MANIFEST.json missing — changed-set unavailable; run "
+              "`python tools/gate_manifest.py --update` on final code and "
+              "commit it.")
 
 
 if __name__ == "__main__":
