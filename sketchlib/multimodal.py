@@ -292,6 +292,11 @@ def decode_bmp(payload: bytes) -> dict:
         raise BmpError(f"unsupported bpp={bpp}/compression={comp}")
     if w <= 0 or h_raw == 0:
         raise BmpError("bad dimensions")
+    if off < 14 + isize:
+        # pixel data cannot start inside the headers: without this lower
+        # bound a crafted off=0 would decode the header bytes as pixels
+        # and return bmp_ok=true with garbage sums
+        raise BmpError("bad pixel offset")
     bottom_up = h_raw > 0
     h = abs(h_raw)
     stride = (w * 3 + 3) // 4 * 4
@@ -339,9 +344,11 @@ def attach_bmp_payload(
                 k = np.arange(h * w * 3, dtype=np.int64)
                 px = t[k % len(t)].reshape(h, w, 3)
                 blob = build_bmp(px)
+                # pd.notna, not `is not None`: a nullable int64 column
+                # reaches pandas as float64 with NaN, and int(NaN) raises
                 if (
                     corrupt_every
-                    and doc_id is not None
+                    and pd.notna(doc_id)
                     and int(doc_id) % corrupt_every == 0
                 ):
                     blob = b"XX" + blob[2:]
@@ -511,9 +518,10 @@ def attach_wav_payload(
                     wav_rate(len(t)),
                     junk_chunk=len(t) % 3 == 0,
                 )
+                # pd.notna, not `is not None` (NaN doc_id — see the BMP twin)
                 if (
                     corrupt_every
-                    and doc_id is not None
+                    and pd.notna(doc_id)
                     and int(doc_id) % corrupt_every == 0
                 ):
                     blob = b"XXXX" + blob[4:]

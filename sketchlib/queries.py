@@ -788,8 +788,9 @@ _GATE_FRONT = [
     # full window; they consolidate in r9 when they actually front):
     # 14 must-front singletons fold into 5 composites (mm×3→1, url×2→1,
     # clusters×2→1, ivf-clustered×2→1, sampling×5→1), freeing 9 slots.
-    # Window: 6 r5 + 30 remaining r6-greens + 5 composites + 3 new + 6
-    # oldest-r7 fill = 50. Registry: 100 − 14 + 5 + 3 = 94.
+    # Window: 6 r5 + 30 remaining r6-greens + 5 composites + 4 new
+    # (bmp, wav, harmonic, ivfpq) + 5 oldest-r7 fill = 50.
+    # Registry: 100 − 14 + 5 + 4 = 95.
     # --- last driver green r5 (deferred from r7's window by rule)
     "lineitem_pricing_summary",
     "top_customers_by_revenue",

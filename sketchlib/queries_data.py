@@ -2303,7 +2303,8 @@ def _ivf_pq_oracle(
         FROM e CROSS JOIN {fin}),
 a AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
 x0 AS (SELECT vec_id, cid, unnest(range(1, len(v) + 1)) AS pos,
-       CAST(FLOOR(unnest(v) * 1048576.0) AS BIGINT) AS x0 FROM a),
+       GREATEST(CAST(-67108864 AS BIGINT), LEAST(CAST(67108864 AS BIGINT),
+         CAST(FLOOR(unnest(v) * 1048576.0) AS BIGINT))) AS x0 FROM a),
 nr AS (SELECT vec_id, GREATEST(CAST(1 AS BIGINT),
        CAST(FLOOR(SQRT(CAST(SUM(x0 * x0) AS DOUBLE))) AS BIGINT)) AS r
        FROM x0 GROUP BY vec_id),
@@ -2406,7 +2407,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb2 = clustered_embeddings(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), n_clusters=16, amp=0.0625
     )
-    idx = content_cache_path(sf_dir, "emb_ivfpq16x16", "v1", ["embeddings"])
+    # v2: x0 clamp ±2^26 joined the quantized domain (PQ_X0_CLAMP —
+    # overflow-bounding, a semantic change even though in-domain results
+    # are identical; the CLAUDE.md bump-on-semantic-change rule)
+    idx = content_cache_path(sf_dir, "emb_ivfpq16x16", "v2", ["embeddings"])
 
     def _write(tmp: str) -> None:
         import os

@@ -45,6 +45,18 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _seq_dot(a, b) -> float:
+    """Sequential float64 dot fold — the SAME arithmetic (order and all)
+    as the in-plan `aggregate(zip_with(...))` assignment, so driver-side
+    centroid rankings (ivf_topk, pq_adc_shortlist) are bit-identical to
+    the in-plan ones. ONE definition on purpose: the probes' parity with
+    each other and with the oracle rests on every ranking using it."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
 #: squared-norm ceiling for a valid embedding (norm ≤ 1e6): real encoder
 #: outputs sit orders of magnitude below; beyond it the fixed-point Lloyd
 #: quantization (floor(x·2^20), int64 sums) could overflow for large
@@ -541,14 +553,7 @@ def ivf_topk(
     _require_valid_query(query_vec)
     cents = spark.read.parquet(index_path + "_centroids").collect()
     q = [float(x) for x in query_vec]
-
-    def seq_dot(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    ranked = sorted(((-seq_dot(q, r["cvn"]), r["cid"]) for r in cents))
+    ranked = sorted(((-_seq_dot(q, r["cvn"]), r["cid"]) for r in cents))
     probe_cids = [cid for _, cid in ranked[:nprobe]]
     cand = spark.read.parquet(index_path).filter(F.col("centroid").isin(probe_cids))
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
@@ -771,6 +776,18 @@ def lsh_cosine_topk(
 #: fixed-point scale for PQ residual quantization (2^20 — exact multiply).
 PQ_QSCALE = 1 << 20
 
+#: per-component clamp on the first-stage quantization floor(x·2^20): the
+#: validity contract admits norm² ≤ 1e12 (a component up to 1e6, x0² ≈
+#: 1.1e24 ≫ 2^63), so the exact-BIGINT norm² would overflow — wrapping in
+#: Spark, raising in DuckDB (a cross-engine divergence on contract-valid
+#: input). Clamping x0 to ±2^26 bounds Σx0² ≤ dim·2^52 — inside int64 for
+#: any dim ≤ 2048 (the r4 rule: "finite" is not "quantizable" — bound the
+#: domain before integerizing, relops._finite_val precedent). |x| ≤ 63 is
+#: unaffected (any sane embedding); absurd-magnitude vectors get
+#: deterministic garbage-but-defined codes, identically in both engines
+#: (the clamp expression is mirrored verbatim in the oracle).
+PQ_X0_CLAMP = 1 << 26
+
 
 def _pq_chunk(col: str, s: int, dsub: int) -> str:
     """1-based slice of subspace ``s`` from a flat array column."""
@@ -832,7 +849,9 @@ def pq_residuals(
     product approximates COSINE (the metric every ranking in this module
     uses — raw-IP ADC ranks within a list by noise·center, nearly
     orthogonal to cosine). Normalization is engine-exact end to end:
-    x0 = floor(x·2^20) (exact multiply), n2 = Σ x0² (exact BIGINT),
+    x0 = floor(x·2^20) (exact multiply) clamped to ±PQ_X0_CLAMP (else a
+    contract-valid giant component overflows the exact norm² — see the
+    constant's comment), n2 = Σ x0² (exact BIGINT),
     r = floor(sqrt(n2)) — sqrt of an int-valued double ≤ 2^53 is
     IEEE-correctly-rounded, identical everywhere — and
     xq = floordiv(x0·2^20, r), so xq ≈ unit-norm at scale 2^20 with zero
@@ -840,15 +859,16 @@ def pq_residuals(
     norm < ~2^-10 quantizes to near-zero x0 and earns deterministic
     (garbage-but-defined) codes rather than a divide-by-zero."""
     assigned = ivf_assign(emb, cents, id_col, vec_col)
-    v = as_double(vec_col)
     S = float(PQ_QSCALE)
+    B = PQ_X0_CLAMP
     xq = (
         assigned.select(
             id_col,
             "centroid",
             F.expr(
                 f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
-                f" x -> CAST(floor(x * {S}D) AS BIGINT))"
+                f" x -> greatest(CAST(-{B} AS BIGINT), least(CAST({B} AS BIGINT),"
+                f" CAST(floor(x * {S}D) AS BIGINT))))"
             ).alias("__x0"),
         )
         .selectExpr(
@@ -912,8 +932,10 @@ def pq_train_codebooks(
     - assign: exact integer squared-L2 argmin, ties → smallest code;
     - update: per-(sub, code, pos) EXACT BIGINT component sums (one
       map-side-combined exchange, output bounded at n_sub·ksub·dsub rows),
-      floor-divided driver-side (python ``//`` == DuckDB ``//``); empty
-      codes keep their previous centroid.
+      floor-divided driver-side with python ``//`` (which FLOORS —
+      DuckDB ``//`` and Spark ``div`` truncate toward zero, so the SQL
+      oracle carries the guarded ``- (CASE WHEN rem != 0 AND neg)``
+      correction to match); empty codes keep their previous centroid.
 
     Returns python lists: codebooks[s][c] = dsub ints (bounded driver
     artifact, n_sub·ksub·dsub values)."""
@@ -989,7 +1011,10 @@ def write_ivf_pq_index(
     cents = cents.localCheckpoint(eager=True)
     rq, cmq = pq_residuals(emb, cents, id_col, vec_col)
     rq = rq.localCheckpoint(eager=True)
-    dsub = len(rq.select("rq").first()["rq"]) // n_sub
+    first = rq.select("rq").first()
+    if first is None:
+        raise ValueError("cannot build an IVFPQ index over an empty input")
+    dsub = len(first["rq"]) // n_sub
     codebooks = pq_train_codebooks(rq, n_sub, ksub, pq_iters, id_col)
     spark = emb.sparkSession
     cents.write.mode("overwrite").parquet(path + "_centroids")
@@ -1028,31 +1053,28 @@ def pq_adc_shortlist(
     _require_valid_query(query_vec)
     q = [float(x) for x in query_vec]
     cents = spark.read.parquet(index_path + "_centroids").collect()
-
-    def seq_dot(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    ranked = sorted(((-seq_dot(q, r["cvn"]), r["cid"]) for r in cents))
+    ranked = sorted(((-_seq_dot(q, r["cvn"]), r["cid"]) for r in cents))
     probe = ranked[:nprobe]
-    import math
-
     # the query enters the SAME engine-exact normalized-quantized domain
-    # as pq_residuals: floor products, exact integer norm², IEEE isqrt,
-    # python // (floors — matches the in-plan guarded floordiv)
-    x0 = [math.floor(x * float(PQ_QSCALE)) for x in q]
+    # as pq_residuals: clamped floor products, exact integer norm², IEEE
+    # isqrt, python // (floors — matches the in-plan guarded floordiv)
+    x0 = [
+        min(PQ_X0_CLAMP, max(-PQ_X0_CLAMP, math.floor(x * float(PQ_QSCALE))))
+        for x in q
+    ]
     r0 = max(1, math.floor(math.sqrt(float(sum(a * a for a in x0)))))
     qq = [(a * PQ_QSCALE) // r0 for a in x0]
     # IP(q, list MEAN) per probed list — exact ints at scale 2^40 (cmq is
-    # the quantized mean the residuals were taken against)
+    # the quantized mean the residuals were taken against). A probed
+    # centroid with ZERO members has no cmq row AND no index directory:
+    # its IP defaults to 0 and the partition filter reads nothing.
     means = {
         r["centroid"]: r["cmq"]
         for r in spark.read.parquet(index_path + "_cmeans").collect()
     }
     ip_cent = {
-        cid: sum(a * b for a, b in zip(qq, means[cid])) for _, cid in probe
+        cid: sum(a * b for a, b in zip(qq, means[cid])) if cid in means else 0
+        for _, cid in probe
     }
     cb = spark.read.parquet(index_path + "_codebooks").collect()
     n_sub = max(r["sub"] for r in cb) + 1

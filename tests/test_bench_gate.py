@@ -169,6 +169,17 @@ def test_gate_manifest_detects_changed_entries(tmp_path, monkeypatch):
     # every ann_* entry's hash covers the similarity module (the operator
     # library edit class the manifest exists to catch)
     assert "sketchlib.similarity" in cur["ann_ivf_pq_topk"]["modules"]
+    # cf_* entries import via queries.py's TOP-of-module imports — the
+    # module-level scan must cover them (zero-coverage entries would make
+    # a spark/cuckoo.py edit invisible to the rotation)
+    assert "sketchlib.spark.cuckoo" in cur["cf_membership_inserted"]["modules"]
+    assert all(v["modules"] for v in cur.values())
+    # ...but never the registry modules themselves (a _GATE_FRONT reorder
+    # must not flag all 95 entries as changed)
+    assert all(
+        m not in ("sketchlib.queries", "sketchlib.queries_data")
+        for v in cur.values() for m in v["modules"]
+    )
 
     man = {k: dict(v) for k, v in cur.items()}
     victim = "ann_ivf_pq_topk"

@@ -351,6 +351,10 @@ def fuzz_emb_dir(tmp_path_factory):
     v([1.0] * (DIM - 1) + [float("inf")])
     v([1e30] * DIM)  # overflows fixed-point Lloyd quantization
     v([1e-30] * DIM)  # tiny but valid
+    # VALID under the norm² ≤ 1e12 contract, yet floor(1e5·2^20)² ≈ 1.1e22
+    # overflows an exact BIGINT norm² — the PQ x0 clamp (PQ_X0_CLAMP)
+    # must keep both engines defined AND identical on this row
+    v([1e5] + [0.0] * (DIM - 1), 1)
     # NULL component: DuckDB's list_sum would SKIP it (vector looks valid)
     # while Spark's fold NULL-poisons — the validity predicate's explicit
     # no-NULL-element clause keeps both engines excluding it

@@ -153,6 +153,8 @@ def test_bmp_top_down_variant_and_flip_detection():
         (lambda b: _patch(b, 28, "<H", 32), "unsupported"),   # bpp=32
         (lambda b: _patch(b, 30, "<I", 1), "unsupported"),    # BI_RLE8
         (lambda b: _patch(b, 18, "<i", 0), "bad dimensions"),  # w=0
+        # off=0 would decode the header itself as pixels if accepted
+        (lambda b: _patch(b, 10, "<I", 0), "bad pixel offset"),
         (lambda b: _patch(b, 26, "<H", 3), "bad info header"),  # planes
     ],
 )

@@ -414,3 +414,59 @@ def test_pq_guards(spark, emb):
         pq_train_codebooks(rq, n_sub=7, ksub=8, iters=1)
     with pytest.raises(ValueError, match="empty"):
         pq_train_codebooks(rq.filter("vec_id < 0"), n_sub=8, ksub=8, iters=1)
+
+
+def test_pq_probe_handles_empty_probed_centroid(spark, tmp_path):
+    """A probed coarse centroid with ZERO assigned vectors (no cmq row,
+    no index directory — routine for hash-sampled seeds at scale) must
+    probe as an empty directory, not KeyError in the LUT builder."""
+    from sketchlib.similarity import pq_adc_shortlist
+
+    idx = str(tmp_path / "pq_empty")
+    # hand-written index: centroid 0 holds both vectors; centroid 1 is
+    # EMPTY but its cvn points straight at the query, so it ranks first
+    dim, n_sub = 4, 2
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, cvn array<double>",
+    ).write.parquet(idx + "_centroids")
+    spark.createDataFrame(
+        [(0, [1 << 20, 0, 0, 0])], "centroid int, cmq array<bigint>"
+    ).write.parquet(idx + "_cmeans")
+    spark.createDataFrame(
+        [(s, c, d, 0) for s in range(n_sub) for c in range(2) for d in range(2)],
+        "sub int, code int, pos int, q long",
+    ).write.parquet(idx + "_codebooks")
+    spark.createDataFrame(
+        [(10, 0, [0, 0]), (11, 0, [1, 1])],
+        "vec_id long, centroid int, codes array<int>",
+    ).write.mode("overwrite").partitionBy("centroid").parquet(idx)
+    out = pq_adc_shortlist(
+        spark, idx, [0.0, 1.0, 0.0, 0.0], nprobe=1, shortlist=5
+    ).collect()
+    assert out == []  # the empty directory yields zero candidates
+    both = pq_adc_shortlist(
+        spark, idx, [0.0, 1.0, 0.0, 0.0], nprobe=2, shortlist=5
+    ).collect()
+    assert {r["vec_id"] for r in both} == {10, 11}
+
+
+def test_pq_residuals_bounded_for_contract_valid_giant_components(spark):
+    """norm² ≤ 1e12 admits a 1e5 component whose unclamped x0² ≈ 1.1e22
+    overflows int64: the PQ_X0_CLAMP keeps the quantized domain exact and
+    defined (r4 rule: bound the domain before integerizing)."""
+    from sketchlib.similarity import PQ_X0_CLAMP, ivf_centroids, pq_residuals
+
+    emb = spark.createDataFrame(
+        [(i, [1e5 if i == 0 and j == 0 else float((i * 7 + j) % 5 - 2)
+              for j in range(8)])
+         for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(emb, k=2).localCheckpoint()
+    rq, cmq = pq_residuals(emb, cents)
+    rows = rq.collect()
+    assert len(rows) == 6
+    bound = 2 * PQ_X0_CLAMP * (1 << 20)  # |xq| ≤ clamp·2^20/r + mean slack
+    for r in rows:
+        assert all(abs(v) <= bound for v in r["rq"]), r

@@ -13,9 +13,13 @@ Each entry's hash covers, in order of decreasing fidelity:
   2. its ORACLE SQL string, fully expanded (oracle-builder helpers are
      captured through their OUTPUT, so a changed SQL fragment changes
      every entry that embeds it — no need to hash the builders);
-  3. the file hash of every ``sketchlib.*`` module the function imports
-     (the operator library the entry drives: a similarity.py edit fronts
-     every ann_* entry — deliberately conservative, one level deep; the
+  3. the file hash of every ``sketchlib.*`` module the function imports —
+     fn-local imports PLUS the defining module's column-0 top-level
+     imports (entries that lean on top-of-file imports, like the cf_*
+     family's sketchlib.spark.cuckoo, would otherwise carry zero module
+     coverage). The operator library the entry drives: a similarity.py
+     edit fronts every ann_* entry — deliberately conservative, one
+     level deep; the
      deeper kernels are version-tokened through sketchlib/cache.py, so a
      semantic kernel change already surfaces as a changed cache path in
      the entry plan, and pure refactors there are what the two-round
@@ -45,6 +49,19 @@ MANIFEST_PATH = os.path.join(
 )
 
 _MOD_RE = re.compile(r"(?:from|import)\s+(sketchlib(?:\.\w+)+)")
+#: module-LEVEL (column-0) sketchlib imports of the entry's defining
+#: module: entries that use top-of-file imports (the cf_* family's
+#: sketchlib.spark.cuckoo) would otherwise carry zero module coverage —
+#: the exact miss this tool exists to close. Column-0 anchoring keeps the
+#: fn-local imports of OTHER entries in the same file out of every hash.
+_TOP_MOD_RE = re.compile(r"^(?:from|import)\s+(sketchlib(?:\.\w+)+)", re.M)
+
+#: the registry modules themselves are NOT hashed as module coverage:
+#: an entry's own source + fully-expanded oracle already capture what it
+#: takes from them, and hashing them would couple EVERY entry to pure
+#: rotation bookkeeping (_GATE_FRONT reorders) — flagging all 95 as
+#: changed on any window edit, which would make the tool useless.
+_REGISTRY_MODULES = {"sketchlib.queries", "sketchlib.queries_data"}
 
 
 def _module_file_hash(modname: str, cache: dict[str, str]) -> str:
@@ -64,10 +81,19 @@ def compute_hashes() -> dict[str, dict]:
     from sketchlib.queries import REGISTRY
 
     mod_cache: dict[str, str] = {}
+    top_cache: dict[str, list[str]] = {}
     out: dict[str, dict] = {}
     for name, (fn, oracle) in REGISTRY.items():
         src = inspect.getsource(fn)
-        mods = sorted(set(_MOD_RE.findall(src)))
+        home = fn.__module__
+        if home not in top_cache:
+            top_cache[home] = _TOP_MOD_RE.findall(
+                inspect.getsource(sys.modules[home])
+            )
+        mods = sorted(
+            (set(_MOD_RE.findall(src)) | set(top_cache[home]))
+            - _REGISTRY_MODULES
+        )
         h = hashlib.sha256()
         h.update(src.encode())
         h.update(b"\x00")
