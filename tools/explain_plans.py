@@ -597,6 +597,36 @@ def main():
              lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
         ],
     )
+    from sketchlib.multimodal import (
+        attach_bmp_payload,
+        attach_wav_payload,
+        decode_bmp_df,
+        decode_wav_df,
+    )
+
+    docs_idtext = docs.where(F.col("doc_id").isNotNull()).select("doc_id", "text")
+    show(
+        "real BMP decode (build + decode, two chained Arrow passes, zero shuffle)",
+        decode_bmp_df(attach_bmp_payload(docs_idtext, corrupt_every=97), "bmp"),
+        checks=[
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("builder and decoder are narrow Arrow maps",
+             lambda p: p.count("MapInPandas") == 2),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
+    show(
+        "real WAV decode (build + decode, two chained Arrow passes, zero shuffle)",
+        decode_wav_df(attach_wav_payload(docs_idtext, corrupt_every=97), "wav"),
+        checks=[
+            ("no exchange at all", lambda p: "Exchange" not in p),
+            ("builder and decoder are narrow Arrow maps",
+             lambda p: p.count("MapInPandas") == 2),
+            ("scan prunes to doc_id+text",
+             lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ],
+    )
     show(
         "shard manifest (one small-group agg, map-side combined)",
         shard_manifest(docs),
