@@ -273,3 +273,67 @@ def test_wav_df_quarantines_malformed(spark, docs):
             assert r["sum_s"] == 256 * sum(b - 128 for b in t)
             assert r["energy"] == 65536 * sum((b - 128) ** 2 for b in t)
             assert r["peak"] == 256 * max(abs(b - 128) for b in t)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.binary(min_size=1, max_size=200),
+    cut=st.integers(min_value=0, max_value=300),
+    patch_at=st.integers(min_value=0, max_value=120),
+    patch_val=st.integers(min_value=0, max_value=255),
+)
+def test_bmp_decoder_total_on_mutations(text, cut, patch_at, patch_val):
+    """Robustness property: ANY truncation/byte-patch of a real BMP either
+    decodes to integer stats or raises BmpError — never any other
+    exception (the quarantine path in decode_bmp_df catches BmpError
+    only, so an unexpected exception class would kill a 100 TB stage)."""
+    import numpy as np
+
+    from sketchlib.multimodal import BmpError, bmp_dims, build_bmp, decode_bmp
+
+    t = np.frombuffer(text, dtype=np.uint8)
+    w, h = bmp_dims(len(t))
+    k = np.arange(h * w * 3, dtype=np.int64)
+    blob = bytearray(build_bmp(t[k % len(t)].reshape(h, w, 3)))
+    if patch_at < len(blob):
+        blob[patch_at] = patch_val
+    blob = bytes(blob[: max(0, len(blob) - cut)])
+    try:
+        d = decode_bmp(blob)
+        assert d["width"] > 0 and d["height"] > 0
+        assert all(isinstance(v, int) for v in d.values())
+    except BmpError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    text=st.binary(min_size=1, max_size=200),
+    cut=st.integers(min_value=0, max_value=300),
+    patch_at=st.integers(min_value=0, max_value=120),
+    patch_val=st.integers(min_value=0, max_value=255),
+    junk=st.booleans(),
+)
+def test_wav_decoder_total_on_mutations(text, cut, patch_at, patch_val, junk):
+    """Same totality property for the WAV chunk walker: mutated RIFF
+    payloads decode or raise WavError, nothing else."""
+    import numpy as np
+
+    from sketchlib.multimodal import WavError, build_wav, decode_wav, wav_rate
+
+    t = np.frombuffer(text, dtype=np.uint8)
+    samples = ((t.astype(np.int64) - 128) * 256).astype(np.int16)
+    blob = bytearray(build_wav(samples, wav_rate(len(t)), junk_chunk=junk))
+    if patch_at < len(blob):
+        blob[patch_at] = patch_val
+    blob = bytes(blob[: max(0, len(blob) - cut)])
+    try:
+        d = decode_wav(blob)
+        assert d["n_samples"] >= 0 and d["sample_rate"] >= 0
+        assert all(isinstance(v, int) for v in d.values())
+    except WavError:
+        pass
