@@ -1028,9 +1028,16 @@ def write_ivf_pq_index(
     spark.createDataFrame(
         cb_rows, "sub int, code int, pos int, q long"
     ).coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
+    # repartition on the partition key before partitionBy: without it
+    # every task writes a sliver into every centroid directory (tasks ×
+    # lists tiny files — the classic small-files write); with it each
+    # list is one coherent file. The shuffle moves 8-byte code rows, not
+    # embeddings, so it is cheap at any corpus size.
     rq.selectExpr(
         id_col, "centroid", f"{_pq_codes_expr('rq', codebooks, dsub)} AS codes"
-    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
+    ).repartition("centroid").write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(path)
 
 
 def pq_adc_shortlist(
