@@ -174,3 +174,42 @@ def test_decontaminate_stage_removes_all_holdout_overlap(spark, tmp_path):
     ).select("doc_id", "text")
     leftover = benchmark_span_overlap(surv_docs, held, n=3).count()
     assert leftover == 0
+
+
+def test_build_ann_index_job_ivfpq(tmp_path):
+    """jobs/build_ann_index_job.py end to end as a subprocess (the
+    spark-submit python path): builds an IVFPQ index over the sf0.001
+    embeddings, writes the codes-only layout + a metrics report, and the
+    written index probes correctly via ivf_pq_topk."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        "--master local[4] --conf spark.sql.shuffle.partitions=8 "
+        "--conf spark.ui.enabled=false pyspark-shell"
+    )
+    out = str(tmp_path / "ivfpq")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "build_ann_index_job.py"),
+         "--input", "/root/testdata/sf0.001/embeddings.parquet",
+         "--output", out, "--kind", "ivfpq", "--k", "8",
+         "--n-sub", "8", "--ksub", "16", "--lloyd-iters", "1"],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.load(open(out + "_report.json"))
+    assert report["kind"] == "ivfpq" and report["n_vectors"] > 0
+    assert report["columns"] == ["centroid", "codes", "vec_id"]
+    assert report["n_lists_nonempty"] <= 8
+    # the written index is probeable by the library in-process
+    from pyspark.sql import functions as F
+
+    from sketchlib.spark.session import get_spark
+    from sketchlib.similarity import ivf_pq_topk, valid_embeddings
+
+    spark = get_spark()
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = valid_embeddings(emb).where(F.col("vec_id") == 0).first()["embedding"]
+    got = ivf_pq_topk(spark, out, q, k=5, nprobe=2, shortlist=10,
+                      rescore_src=emb).collect()
+    assert {r2["path"] for r2 in got} == {"adc", "refined"}
+    assert len([r2 for r2 in got if r2["path"] == "refined"]) == 5
