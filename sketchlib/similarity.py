@@ -1144,8 +1144,15 @@ def ivf_pq_topk(
         return out
     v = as_double(F.col(vec_col))
     ql = _qlit(q)
+    # push the (bounded, already-materialized) shortlist ids into the
+    # rescore scan as an isin filter: a bare broadcast join would still
+    # SCAN the whole embeddings table to find ≤`shortlist` rows — the
+    # isin predicate reaches the parquet reader (PushedFilters: In) and
+    # row-group min/max statistics skip everything else. The join then
+    # only reattaches adc_q.
+    short_ids = [r[id_col] for r in adc.select(id_col).collect()]
     refined = (
-        valid_embeddings(rescore_src, vec_col)
+        valid_embeddings(rescore_src.where(F.col(id_col).isin(short_ids)), vec_col)
         .join(F.broadcast(adc), id_col)
         # exactly cosine_topk's scoring expression (the proven ROUND(·, 9)
         # cross-engine parity contract)

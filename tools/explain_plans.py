@@ -255,6 +255,25 @@ def main():
                  lambda p: "TakeOrderedAndProject" in p and "Exchange" not in p),
             ],
         )
+        from sketchlib.similarity import ivf_pq_topk
+
+        show(
+            "IVFPQ exact re-score (shortlist ids pushed into the scan, broadcast join)",
+            ivf_pq_topk(spark, pq_path, q0, nprobe=2, shortlist=20,
+                        rescore_src=emb),
+            checks=[
+                # the rescore must NOT scan the corpus for ≤20 rows: the
+                # shortlist ids reach the parquet reader as an In filter
+                # (row-group min/max skipping at 100 TB)
+                ("shortlist ids pushed to the rescore scan",
+                 lambda p: re.search(r"PushedFilters: \[In\(vec_id", p)
+                 is not None),
+                ("shortlist reattached via broadcast join",
+                 lambda p: "BroadcastHashJoin" in p),
+                ("no shuffle exchange anywhere",
+                 lambda p: "Exchange hashpartitioning" not in p),
+            ],
+        )
 
     from sketchlib.relops import asof_join, sample_by_hash
 
