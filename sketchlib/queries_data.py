@@ -288,13 +288,22 @@ def url_canonical_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (north_star keys 'on url'). At scale the annotate-each-doc
     join is the standard keep/drop-decision shape: one groupBy exchange +
     one self-join on the same key."""
-    from sketchlib.urlops import url_dedup_canonical, with_canonical_url, with_synth_url
+    from sketchlib.urlops import with_canonical_url, with_synth_url
 
     docs = _docs(spark, sf_dir)
-    per_doc = with_canonical_url(with_synth_url(docs)).select(
-        "doc_id", "url", "canonical_url"
+    # materialize-before-fanout (ADVICE r8 / CLAUDE.md r6 rule): the
+    # regex-heavy canonicalization subtree feeds BOTH join sides, so it is
+    # computed ONCE and checkpointed; groups re-derive url_dedup_canonical's
+    # exact aggregation from the materialized per_doc relation
+    per_doc = (
+        with_canonical_url(with_synth_url(docs))
+        .select("doc_id", "url", "canonical_url")
+        .localCheckpoint(eager=True)
     )
-    groups = url_dedup_canonical(docs)
+    groups = per_doc.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
     return per_doc.join(groups, "canonical_url").select(
         "doc_id", "url", "canonical_url", "keeper_doc_id", "n_dups"
     )

@@ -305,26 +305,76 @@ def ivf_centroids(
     )
 
 
+def _centroid_rows(cents: DataFrame) -> list:
+    """The bounded centroid relation, collected driver-side (k ≤ 64 rows —
+    every probe `.collect()`s it anyway) and sorted ascending by cid so a
+    keep-first argmax fold reproduces the (dot DESC, cid ASC) tie rule."""
+    rows = [(r["cid"], list(r["cvn"])) for r in cents.collect()]
+    rows.sort(key=lambda t: t[0])
+    return rows
+
+
+def _assign_expr(vec_col, rows: list, cid_type) -> F.Column:
+    """Zero-exchange argmax assignment: k literal-centroid dot products per
+    row + an in-plan keep-first fold. Over the cid-ASCENDING ``rows``, the
+    strict ``d > best`` comparison keeps the smallest cid on ties — exactly
+    the old row_number-over-(dot DESC, cid) pick, with no crossJoin row
+    amplification and no window exchange carrying the embedding array
+    (VERDICT r8 finding #1; the pq_adc_shortlist literal-LUT technique).
+    Each array element is referenced once by the fold, so the expensive
+    dot aliases are never duplicated (the r3 CollapseProject rule)."""
+    v = as_double(vec_col)
+    cells = F.array(
+        *[
+            F.struct(
+                _dot(v, F.array(*[F.lit(float(x)) for x in cvn])).alias("d"),
+                F.lit(cid).cast(cid_type).alias("cid"),
+            )
+            for cid, cvn in rows
+        ]
+    )
+    init = F.struct(
+        F.lit(float("-inf")).alias("d"), F.lit(None).cast(cid_type).alias("cid")
+    )
+    return F.aggregate(
+        cells, init, lambda acc, s: F.when(s["d"] > acc["d"], s).otherwise(acc)
+    )["cid"]
+
+
 def ivf_assign(
     emb: DataFrame, cents: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Assign every vector to its max-dot (= max-cosine) centroid: broadcast
-    the tiny centroid table, k dot products per row, keep the argmax
-    (row_number over (dot DESC, cid) — deterministic ties). The k× row
-    amplification before the reduce is the standard IVF assignment cost."""
-    from pyspark.sql import Window as W
-
-    v = as_double(vec_col)
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn("__d", _dot(v, F.col("cvn")))
-    w = W.partitionBy(id_col).orderBy(F.desc("__d"), "cid")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter("__rn = 1")
-        .select(*emb.columns, F.col("cid").alias("centroid"))
+    """Assign every vector to its max-dot (= max-cosine) centroid as ONE
+    zero-exchange projection: the centroid table is a bounded driver
+    artifact, so the k dot products and the argmax run as literal
+    expressions over each row — the same arithmetic (sequential float64
+    zip_with fold, identical (dot DESC, cid ASC) tie rule) as the old
+    crossJoin + row_number shape, without shuffling k× corpus rows
+    carrying the embedding column (VERDICT r8 finding #1)."""
+    rows = _centroid_rows(cents)
+    return emb.withColumn(
+        "centroid", _assign_expr(vec_col, rows, cents.schema["cid"].dataType)
     )
 
 
 _QSCALE = float(1 << 20)  # fixed-point scale for order-independent mean sums
+
+
+def _lloyd_comp(emb: DataFrame, rows: list, cid_type, vec_col: str) -> DataFrame:
+    """Pre-collect builder for ONE Lloyd round's bounded (cid, pos) integer
+    component aggregate: a zero-exchange literal-argmax assignment
+    projection feeding one map-side-combined groupBy whose output is
+    bounded at k·dim rows. Factored out of :func:`lloyd_refine` so
+    tools/explain_plans.py can assert the shuffle shape (the
+    textops._pack_layout precedent)."""
+    v = as_double(vec_col)
+    return (
+        emb.select(_assign_expr(vec_col, rows, cid_type).alias("__c"), v.alias("__v"))
+        .select("__c", F.posexplode("__v").alias("pos", "x"))
+        .select("__c", "pos", F.floor(F.col("x") * F.lit(_QSCALE)).cast("long").alias("q"))
+        .groupBy("__c", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
 
 
 def lloyd_refine(
@@ -350,44 +400,54 @@ def lloyd_refine(
 
     Empty clusters keep their previous centroid (standard Lloyd fallback,
     mirrored in the oracle); a degenerate zero mean would too.
-    """
-    from pyspark.sql import Window as W
 
+    Shape (r9): each round is ONE zero-exchange literal-argmax assignment
+    projection (:func:`_assign_expr` — no crossJoin amplification, no
+    window exchange carrying the embedding array) feeding ONE map-side-
+    combined (cid, pos) aggregation whose output is bounded at k·dim rows
+    and collected; the centroid update runs driver-side with the SAME
+    IEEE arithmetic the old in-plan update used (double(s)/double(n)/2^20
+    per component, sequential float64 norm² fold in pos order,
+    x/sqrt(n²)) — results are bit-identical, and the per-round
+    collect_list/array_sort shuffle is gone."""
+    import math as _math
+
+    spark = emb.sparkSession
+    schema = cents.schema
+    cid_type = schema["cid"].dataType
+    cur = dict(_centroid_rows(cents))
     for _ in range(iters):
-        v = as_double(vec_col)
-        scored = emb.crossJoin(F.broadcast(cents)).withColumn("__d", _dot(v, F.col("cvn")))
-        w = W.partitionBy(id_col).orderBy(F.desc("__d"), "cid")
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1")
-            .select(F.col("cid").alias("__c"), v.alias("__v"))
-        )
-        comp = (
-            assigned.select("__c", F.posexplode("__v").alias("pos", "x"))
-            .select("__c", "pos", F.floor(F.col("x") * F.lit(_QSCALE)).cast("long").alias("q"))
-            .groupBy("__c", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
-            .withColumn("xc", F.col("s").cast("double") / F.col("n") / F.lit(_QSCALE))
-        )
-        arr = (
-            comp.groupBy("__c")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "xc"))).alias("ps"))
-            .select(
-                F.col("__c").alias("cid"),
-                F.expr("transform(ps, p -> p.xc)").alias("cv"),
-            )
-        )
-        n2 = F.aggregate(F.transform("cv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-        newc = arr.select(
-            "cid",
-            F.when(n2 > 0, F.transform("cv", lambda x: x / F.sqrt(n2))).alias("cvn"),
-        )
-        cents = (
-            cents.alias("p")
-            .join(newc.alias("nw"), "cid", "left")
-            .select("cid", F.coalesce("nw.cvn", "p.cvn").alias("cvn"))
-        )
-    return cents
+        rows = sorted(cur.items(), key=lambda t: t[0])
+        comp = _lloyd_comp(emb, rows, cid_type, vec_col).collect()
+        acc: dict = {}
+        for r in comp:
+            acc.setdefault(r["__c"], {})[r["pos"]] = (int(r["s"]), int(r["n"]))
+        for cid, comps in acc.items():
+            # the old in-plan update, mirrored op for op: xc = (double)s /
+            # (double)n / 2^20, n2 = sequential fold of xc², cvn = xc/√n2
+            xs = [
+                float(comps[p][0]) / float(comps[p][1]) / _QSCALE
+                for p in range(len(comps))
+            ]
+            n2 = 0.0
+            for x in xs:
+                n2 += x * x
+            if n2 > 0:
+                rt = _math.sqrt(n2)
+                cur[cid] = [x / rt for x in xs]
+            # else: empty/degenerate cluster keeps its previous centroid
+    import pandas as _pd
+
+    # Arrow-backed local relation (float64 bits survive pandas untouched);
+    # a python-list createDataFrame would pay one Python-worker task per
+    # partition on every downstream action (the codebooks-write finding)
+    ordered = sorted(cur.items(), key=lambda t: t[0])
+    return spark.createDataFrame(
+        _pd.DataFrame(
+            {"cid": [c for c, _ in ordered], "cvn": [v for _, v in ordered]}
+        ),
+        schema,
+    )
 
 
 def kmeans_parallel_seeds(
@@ -436,20 +496,27 @@ def kmeans_parallel_seeds(
     # membership and deterministic sorting, so string/any-type id_col works
     cands = [(first[0]["__id"], list(first[0]["__nv"]))]
 
-    def _cost_q(cand_df):
-        # integerized spherical cost: floor((1 - max dot) * 2^20) ≥ 0
-        scored = norm.crossJoin(F.broadcast(cand_df)).groupBy("__id").agg(
-            F.max(_dot(F.col("__nv"), F.col("cv"))).alias("__best"),
-            F.first("__nv").alias("__nv"),
+    def _cost_q(cand_vecs):
+        # integerized spherical cost: floor((1 - max dot) * 2^20) ≥ 0.
+        # candidates are a bounded DRIVER list, so the per-round cost is a
+        # zero-exchange literal projection (array_max over k literal dots
+        # ≡ the old crossJoin + groupBy(max) — same doubles, same max),
+        # never a k×-row shuffle of the normalized vectors (r9)
+        best = F.array_max(
+            F.array(
+                *[
+                    _dot(F.col("__nv"), F.array(*[F.lit(float(x)) for x in cv]))
+                    for cv in cand_vecs
+                ]
+            )
         )
-        return scored.withColumn(
+        return norm.select("__id", "__nv", best.alias("__best")).withColumn(
             "__cq", F.floor((F.lit(1.0) - F.col("__best")) * F.lit(float(1 << 20))).cast("long")
         )
 
     spark = emb.sparkSession
     for r in range(rounds):
-        cdf = spark.createDataFrame([(c[1],) for c in cands], "cv array<double>")
-        scored = _cost_q(cdf).cache()
+        scored = _cost_q([c[1] for c in cands]).cache()
         total = scored.agg(F.sum("__cq")).first()[0] or 0
         if total == 0:  # every point coincides with a candidate
             break
@@ -468,17 +535,18 @@ def kmeans_parallel_seeds(
         for row in sorted(picked, key=lambda x: x["__id"]):
             if row["__id"] not in have:
                 cands.append((row["__id"], list(row["__nv"])))
-    # weights: how many corpus points are nearest to each candidate
-    cdf = spark.createDataFrame(
-        [(i, c[1]) for i, c in enumerate(cands)], "ci long, cv array<double>"
-    )
-    from pyspark.sql import Window as W
+    # weights: how many corpus points are nearest to each candidate — the
+    # same zero-exchange literal argmax as ivf_assign (keep-first fold over
+    # ci-ascending candidates ≡ row_number over (dot DESC, ci)), then one
+    # bounded map-side-combined count (r9: no k×-vector window shuffle)
+    from pyspark.sql.types import LongType
 
     nearest = (
-        norm.crossJoin(F.broadcast(cdf))
-        .withColumn("__d", _dot(F.col("__nv"), F.col("cv")))
-        .withColumn("__rn", F.row_number().over(W.partitionBy("__id").orderBy(F.desc("__d"), "ci")))
-        .filter("__rn = 1")
+        norm.select(
+            _assign_expr(
+                F.col("__nv"), [(i, c[1]) for i, c in enumerate(cands)], LongType()
+            ).alias("ci")
+        )
         .groupBy("ci")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -503,10 +571,30 @@ def kmeans_parallel_seeds(
                 n2 = float(s @ s)
                 if n2 > 0:
                     seeds[j] = s / np.sqrt(n2)
+    import pandas as _pd
+
     return spark.createDataFrame(
-        [(int(j), [float(x) for x in seeds[j]]) for j in range(len(seeds))],
+        _pd.DataFrame(
+            {
+                "cid": [int(j) for j in range(len(seeds))],
+                "cvn": [[float(x) for x in seeds[j]] for j in range(len(seeds))],
+            }
+        ),
         "cid long, cvn array<double>",
     )
+
+
+def _write_salt_col(spark: SparkSession, id_col: str) -> F.Column:
+    """Deterministic salt for clustering index rows before a
+    ``partitionBy`` write: ``pmod(xxhash64(id), ceil(P / 16))`` adds
+    enough distinct (centroid, salt) groups to keep writer parallelism
+    near the shuffle partition count P (k alone would collapse the
+    corpus onto k writer tasks at scale), while each group still lands
+    whole in one task → one coherent output file per group. Deterministic
+    (never rand() — the SPARK-38388 retry trap) and AQE-coalescible on
+    small inputs."""
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(max(1, (p + 15) // 16)))
 
 
 def write_ivf_index(
@@ -531,9 +619,15 @@ def write_ivf_index(
     if lloyd_iters:
         cents = lloyd_refine(emb, cents, lloyd_iters, id_col, vec_col)
     cents.write.mode("overwrite").parquet(path + "_centroids")
-    ivf_assign(emb, cents, id_col, vec_col).write.mode("overwrite").partitionBy(
-        "centroid"
-    ).parquet(path)
+    # cluster rows by centroid before partitionBy (each (centroid, salt)
+    # group lands whole in one task → one coherent file per group instead
+    # of tasks×k slivers); the salt keeps writer parallelism ≈ the shuffle
+    # partition count instead of collapsing the whole corpus onto k writer
+    # tasks (guide §2.5/§6). This ONE vector shuffle replaces the old
+    # window exchange that moved k× amplified vector rows.
+    ivf_assign(emb, cents, id_col, vec_col).repartition(
+        F.col("centroid"), _write_salt_col(emb.sparkSession, id_col)
+    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
 
 
 def ivf_topk(
@@ -813,13 +907,21 @@ def _pq_dist_expr(rq_col: str, cb_sub: list, s: int, dsub: int) -> str:
 
 def _pq_codes_expr(rq_col: str, codebooks: list, dsub: int) -> str:
     """codes array (one int per subspace): argmin of the integer distance
-    array, first-minimum tie-break == smallest code (array_position scans
-    code order)."""
+    array via ONE keep-first fold — ``acc.ix = -1`` admits the first
+    element, strict ``<`` keeps the first minimum thereafter, so the
+    result equals the old ``array_position(d, array_min(d)) - 1``
+    (first-minimum tie-break == smallest code) while referencing the
+    ksub-distance array ONCE instead of twice (r9: the duplicated
+    ``{d}`` alias used to double both the codegen size and the per-row
+    distance work of every training/encode pass)."""
     parts = []
     for s, cb_sub in enumerate(codebooks):
         d = _pq_dist_expr(rq_col, cb_sub, s, dsub)
         parts.append(
-            f"CAST(array_position({d}, array_min({d})) - 1 AS INT)"
+            f"aggregate(zip_with({d}, sequence(0, {len(cb_sub) - 1}),"
+            " (x, i) -> named_struct('dv', x, 'ix', i)),"
+            " named_struct('dv', CAST(NULL AS BIGINT), 'ix', -1),"
+            " (acc, e) -> IF(acc.ix = -1 OR e.dv < acc.dv, e, acc)).ix"
         )
     return "array(" + ", ".join(parts) + ")"
 
@@ -939,19 +1041,21 @@ def pq_train_codebooks(
 
     Returns python lists: codebooks[s][c] = dsub ints (bounded driver
     artifact, n_sub·ksub·dsub values)."""
-    first = rq_df.select("rq").first()
-    if first is None:
-        raise ValueError("cannot train PQ codebooks on an empty input")
-    dim = len(first["rq"])
-    if dim % n_sub:
-        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
-    dsub = dim // n_sub
     seeds = (
         rq_df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(ksub)
         .select("rq")
         .collect()
     )
+    # dim comes from the seed rows themselves — the old separate
+    # `.first()` probe was one more full job over the (checkpointed)
+    # residuals for a value the seeds already carry (r9)
+    if not seeds:
+        raise ValueError("cannot train PQ codebooks on an empty input")
+    dim = len(seeds[0]["rq"])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
     if len(seeds) < ksub:
         raise ValueError(f"need >= {ksub} rows to seed {ksub} codes")
     codebooks = [
@@ -1011,11 +1115,14 @@ def write_ivf_pq_index(
     cents = cents.localCheckpoint(eager=True)
     rq, cmq = pq_residuals(emb, cents, id_col, vec_col)
     rq = rq.localCheckpoint(eager=True)
-    first = rq.select("rq").first()
-    if first is None:
-        raise ValueError("cannot build an IVFPQ index over an empty input")
-    dsub = len(first["rq"]) // n_sub
-    codebooks = pq_train_codebooks(rq, n_sub, ksub, pq_iters, id_col)
+    try:
+        codebooks = pq_train_codebooks(rq, n_sub, ksub, pq_iters, id_col)
+    except ValueError as e:
+        if "empty" in str(e):
+            raise ValueError("cannot build an IVFPQ index over an empty input") from e
+        raise
+    # dsub from the trained artifact — no extra `.first()` job (r9)
+    dsub = len(codebooks[0][0])
     spark = emb.sparkSession
     cents.write.mode("overwrite").parquet(path + "_centroids")
     cmq.write.mode("overwrite").parquet(path + "_cmeans")
@@ -1025,19 +1132,29 @@ def write_ivf_pq_index(
         for c, code in enumerate(cb_sub)
         for d, q in enumerate(code)
     ]
+    # Arrow-backed local relation (pandas source): a plain python-list
+    # createDataFrame parallelizes into defaultParallelism pickled
+    # partitions and the write then runs one Python-worker task per
+    # partition — measured 4.4s vs 0.4s for this 4096-row constant (r9).
+    # Values are exact ints either way.
+    import pandas as _pd
+
     spark.createDataFrame(
-        cb_rows, "sub int, code int, pos int, q long"
+        _pd.DataFrame(cb_rows, columns=["sub", "code", "pos", "q"]),
+        "sub int, code int, pos int, q long",
     ).coalesce(1).write.mode("overwrite").parquet(path + "_codebooks")
-    # repartition on the partition key before partitionBy: without it
+    # repartition on (centroid, salt) before partitionBy: without it
     # every task writes a sliver into every centroid directory (tasks ×
     # lists tiny files — the classic small-files write); with it each
-    # list is one coherent file. The shuffle moves 8-byte code rows, not
-    # embeddings, so it is cheap at any corpus size.
+    # (centroid, salt) group is one coherent file, and the salt keeps
+    # writer parallelism near the shuffle partition count instead of
+    # collapsing onto k tasks (r9; guide §2.5). The shuffle moves 8-byte
+    # code rows, not embeddings, so it is cheap at any corpus size.
     rq.selectExpr(
         id_col, "centroid", f"{_pq_codes_expr('rq', codebooks, dsub)} AS codes"
-    ).repartition("centroid").write.mode("overwrite").partitionBy(
-        "centroid"
-    ).parquet(path)
+    ).repartition(
+        F.col("centroid"), _write_salt_col(spark, id_col)
+    ).write.mode("overwrite").partitionBy("centroid").parquet(path)
 
 
 def pq_adc_shortlist(
