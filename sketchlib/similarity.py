@@ -314,31 +314,54 @@ def _centroid_rows(cents: DataFrame) -> list:
     return rows
 
 
-def _assign_expr(vec_col, rows: list, cid_type) -> F.Column:
+def _sql_flit(x) -> str:
+    """Exact double literal: ``repr`` is the shortest round-trip form and
+    Spark's literal parser is correctly-rounded, so the in-plan value is
+    bit-identical to the collected python float (the hyperplane-literal
+    precedent)."""
+    return repr(float(x)) + "D"
+
+
+def _sql_cid_lit(c, ct: str) -> str:
+    if isinstance(c, bool) or not isinstance(c, (int, float)):
+        s = "'" + str(c).replace("'", "''") + "'"
+    elif isinstance(c, int):
+        s = repr(c)
+    else:
+        s = repr(float(c)) + "D"
+    return f"CAST({s} AS {ct})"
+
+
+def _assign_expr(vec_col: str, rows: list, cid_type) -> F.Column:
     """Zero-exchange argmax assignment: k literal-centroid dot products per
     row + an in-plan keep-first fold. Over the cid-ASCENDING ``rows``, the
     strict ``d > best`` comparison keeps the smallest cid on ties — exactly
     the old row_number-over-(dot DESC, cid) pick, with no crossJoin row
     amplification and no window exchange carrying the embedding array
     (VERDICT r8 finding #1; the pq_adc_shortlist literal-LUT technique).
-    Each array element is referenced once by the fold, so the expensive
-    dot aliases are never duplicated (the r3 CollapseProject rule)."""
-    v = as_double(vec_col)
-    cells = F.array(
-        *[
-            F.struct(
-                _dot(v, F.array(*[F.lit(float(x)) for x in cvn])).alias("d"),
-                F.lit(cid).cast(cid_type).alias("cid"),
-            )
-            for cid, cvn in rows
-        ]
+
+    Built as ONE SQL string parsed JVM-side (the _pq_dist_expr
+    discipline): the equivalent Column-API construction issues a py4j
+    round-trip per literal — measured 1.3s vs 0.82s PER PASS at k=16,
+    dim=64 just to build and analyze the tree. The dot is the same
+    sequential float64 zip_with fold as :func:`_dot`, over the same
+    element-wise double cast as :func:`as_double` (identity bits on
+    already-double inputs), so assignments are bit-identical to the old
+    crossJoin shape. The single 2-D centroid literal is referenced once
+    by one lambda — nothing is duplicated (the r3 CollapseProject rule)."""
+    ct = cid_type.simpleString()
+    cvs = ", ".join(
+        "array(" + ", ".join(_sql_flit(x) for x in cvn) + ")" for _, cvn in rows
     )
-    init = F.struct(
-        F.lit(float("-inf")).alias("d"), F.lit(None).cast(cid_type).alias("cid")
+    cids = ", ".join(_sql_cid_lit(c, ct) for c, _ in rows)
+    v = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return F.expr(
+        f"aggregate(zip_with(transform(array({cvs}), cv -> aggregate(zip_with({v},"
+        f" cv, (x, y) -> x * y), 0.0D, (s, x) -> s + x)), array({cids}),"
+        " (d, c) -> named_struct('d', d, 'cid', c)),"
+        f" named_struct('d', CAST('-Infinity' AS DOUBLE), 'cid', CAST(NULL AS {ct})),"
+        " (acc, e) -> IF(e.d > acc.d, e, acc)).cid"
     )
-    return F.aggregate(
-        cells, init, lambda acc, s: F.when(s["d"] > acc["d"], s).otherwise(acc)
-    )["cid"]
 
 
 def ivf_assign(
@@ -501,14 +524,14 @@ def kmeans_parallel_seeds(
         # candidates are a bounded DRIVER list, so the per-round cost is a
         # zero-exchange literal projection (array_max over k literal dots
         # ≡ the old crossJoin + groupBy(max) — same doubles, same max),
-        # never a k×-row shuffle of the normalized vectors (r9)
-        best = F.array_max(
-            F.array(
-                *[
-                    _dot(F.col("__nv"), F.array(*[F.lit(float(x)) for x in cv]))
-                    for cv in cand_vecs
-                ]
-            )
+        # never a k×-row shuffle of the normalized vectors (r9). SQL-string
+        # built, not Column-API — see _assign_expr (py4j per-literal cost).
+        cvs = ", ".join(
+            "array(" + ", ".join(_sql_flit(x) for x in cv) + ")" for cv in cand_vecs
+        )
+        best = F.expr(
+            f"array_max(transform(array({cvs}), cv -> aggregate(zip_with(__nv, cv,"
+            " (x, y) -> x * y), 0.0D, (s, x) -> s + x)))"
         )
         return norm.select("__id", "__nv", best.alias("__best")).withColumn(
             "__cq", F.floor((F.lit(1.0) - F.col("__best")) * F.lit(float(1 << 20))).cast("long")
@@ -544,7 +567,7 @@ def kmeans_parallel_seeds(
     nearest = (
         norm.select(
             _assign_expr(
-                F.col("__nv"), [(i, c[1]) for i, c in enumerate(cands)], LongType()
+                "__nv", [(i, c[1]) for i, c in enumerate(cands)], LongType()
             ).alias("ci")
         )
         .groupBy("ci")
@@ -1007,6 +1030,11 @@ def pq_residuals(
                 " AND p.s < 0 THEN 1 ELSE 0 END) AS BIGINT))"
             ).alias("cmq")
         )
+        # bounded k-row relation feeding ≥2 consumers (the rq broadcast
+        # join and the _cmeans write): without the eager checkpoint each
+        # consumer re-runs the full corpus-sized xq aggregation (r9 —
+        # materialize-before-fanout, CLAUDE.md r6 rule)
+        .localCheckpoint(eager=True)
     )
     rq = (
         xq.join(F.broadcast(cmq), "centroid")
