@@ -383,20 +383,94 @@ def ivf_assign(
 _QSCALE = float(1 << 20)  # fixed-point scale for order-independent mean sums
 
 
+def _emb_batch_matrix(col) -> "np.ndarray":
+    """A pyarrow list<float|double> column as a dense (B, dim) float64
+    matrix. float32 → float64 is the exact widening the in-plan
+    ``as_double`` cast performs; fixed-dim non-null rows are the embedding
+    contract (valid_embeddings upstream) — ragged/null rows fail fast."""
+    if col.null_count:
+        raise ValueError("embedding batch contains NULL rows")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(col)
+    flat = col.flatten()
+    if flat.null_count:
+        raise ValueError("embedding batch contains NULL elements")
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    dim = lens[0].as_py()
+    if not pc.all(pc.equal(lens, pa.scalar(dim, type=lens.type))).as_py():
+        raise ValueError("embedding rows must all share one dim")
+    return flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+
+
+def _assign_batch(mat: "np.ndarray", cv_arr: "np.ndarray") -> "np.ndarray":
+    """Vectorized argmax assignment of a (B, dim) float64 matrix against
+    (k, dim) float64 centroids, returning centroid INDEXES (row order of
+    ``cv_arr`` = cid-ascending). Bit-identical to :func:`_assign_expr`:
+    the dot accumulates SEQUENTIALLY ACROSS DIMS (vectorized across rows),
+    so every row executes the exact left-to-right IEEE add sequence of the
+    in-plan zip_with fold, and the strict ``d > best`` update over
+    ascending index reproduces the keep-first (dot DESC, cid ASC) tie
+    rule. Pinned by test_assign_batch_equals_expr."""
+    b, dim = mat.shape
+    best = np.full(b, -np.inf)
+    bi = np.zeros(b, dtype=np.int64)
+    for i in range(cv_arr.shape[0]):
+        acc = np.zeros(b)
+        c = cv_arr[i]
+        for j in range(dim):
+            acc += mat[:, j] * c[j]
+        upd = acc > best
+        bi[upd] = i
+        best[upd] = acc[upd]
+    return bi
+
+
 def _lloyd_comp(emb: DataFrame, rows: list, cid_type, vec_col: str) -> DataFrame:
-    """Pre-collect builder for ONE Lloyd round's bounded (cid, pos) integer
-    component aggregate: a zero-exchange literal-argmax assignment
-    projection feeding one map-side-combined groupBy whose output is
-    bounded at k·dim rows. Factored out of :func:`lloyd_refine` so
-    tools/explain_plans.py can assert the shuffle shape (the
-    textops._pack_layout precedent)."""
-    v = as_double(vec_col)
+    """Pre-collect builder for ONE Lloyd round's bounded component
+    aggregate, keyed by centroid INDEX (``rows`` order = cid-ascending;
+    the caller maps indexes back to cids): one vectorized Arrow pass
+    (assign + exact power-of-two quantization + np.add.at scatter — the
+    manual map-side combine, ≤ k·dim partial rows per batch) merged by one
+    bounded exchange. Bit-exact vs the in-plan shape: the float dot is the
+    sequential fold (see _assign_batch), floor(x·2^20) is an exact
+    power-of-two scale, and the integer partial sums are order-independent.
+    Factored out of :func:`lloyd_refine` so tools/explain_plans.py can
+    assert the shape (the textops._pack_layout precedent)."""
+    import pyarrow as pa
+
+    cv_arr = np.array([cvn for _, cvn in rows], dtype=np.float64)
+    k, dim = cv_arr.shape
+
+    def gen(batches):
+        for b in batches:
+            mat = _emb_batch_matrix(b.column(0))
+            if mat.shape[0] == 0:
+                continue
+            bi = _assign_batch(mat, cv_arr)
+            q = np.floor(mat * _QSCALE).astype(np.int64)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            cnts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, bi, q)
+            np.add.at(cnts, bi, 1)
+            nz = np.nonzero(cnts)[0]  # only clusters with members
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(nz, dim).astype(np.int32)),
+                    pa.array(np.tile(np.arange(dim, dtype=np.int32), len(nz))),
+                    pa.array(sums[nz].reshape(-1)),
+                    pa.array(np.repeat(cnts[nz], dim)),
+                ],
+                ["cidx", "pos", "s", "n"],
+            )
+
     return (
-        emb.select(_assign_expr(vec_col, rows, cid_type).alias("__c"), v.alias("__v"))
-        .select("__c", F.posexplode("__v").alias("pos", "x"))
-        .select("__c", "pos", F.floor(F.col("x") * F.lit(_QSCALE)).cast("long").alias("q"))
-        .groupBy("__c", "pos")
-        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        emb.select(vec_col)
+        .mapInArrow(gen, "cidx int, pos int, s long, n long")
+        .groupBy("cidx", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
 
 
@@ -444,7 +518,7 @@ def lloyd_refine(
         comp = _lloyd_comp(emb, rows, cid_type, vec_col).collect()
         acc: dict = {}
         for r in comp:
-            acc.setdefault(r["__c"], {})[r["pos"]] = (int(r["s"]), int(r["n"]))
+            acc.setdefault(rows[r["cidx"]][0], {})[r["pos"]] = (int(r["s"]), int(r["n"]))
         for cid, comps in acc.items():
             # the old in-plan update, mirrored op for op: xc = (double)s /
             # (double)n / 2^20, n2 = sequential fold of xc², cvn = xc/√n2
@@ -628,6 +702,7 @@ def write_ivf_index(
     vec_col: str = "embedding",
     lloyd_iters: int = 2,
     cents: DataFrame | None = None,
+    materialize_input: bool = True,
 ) -> None:
     """Materialize the IVF index: rows partitioned by assigned centroid
     (probes prune to ``nprobe`` directories) + the centroid table beside it.
@@ -635,8 +710,19 @@ def write_ivf_index(
     ordered sample (:func:`ivf_centroids`) — or pass ``cents=`` (e.g.
     :func:`kmeans_parallel_seeds` for larger k / skewed corpora) — refined
     by ``lloyd_iters`` in-plan k-means rounds (:func:`lloyd_refine`;
-    0 = raw seeds)."""
+    0 = raw seeds).
+
+    ``materialize_input`` (default True): the (id, vec) projection feeds
+    seeds + every Lloyd round + the final assignment — 2+lloyd_iters full
+    passes. When the input is a DERIVED relation (a fixture transform, a
+    filtered join) each pass re-executes its subtree, so the projection is
+    eagerly localCheckpointed once (CLAUDE.md materialize-before-fanout).
+    Pass False when ``emb`` is a bare columnar scan at cluster scale —
+    re-scanning pruned parquet is cheaper than writing a corpus
+    checkpoint."""
     emb = valid_embeddings(emb, vec_col)
+    if materialize_input:
+        emb = emb.select(id_col, vec_col).localCheckpoint(eager=True)
     if cents is None:
         cents = ivf_centroids(emb, k, id_col, vec_col)
     if lloyd_iters:
@@ -949,6 +1035,126 @@ def _pq_codes_expr(rq_col: str, codebooks: list, dsub: int) -> str:
     return "array(" + ", ".join(parts) + ")"
 
 
+def _rq_batch_matrix(col, dim: int) -> "np.ndarray":
+    """A pyarrow list<int64> column as a dense (B, dim) int64 matrix.
+    The quantized-residual contract is fixed-dim, non-null rows; anything
+    else fails fast (the in-plan slice path would emit undefined garbage
+    codes for ragged rows — a crash beats silent corruption here)."""
+    if col.null_count:
+        raise ValueError("rq batch contains NULL rows/elements")
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(col)
+    import pyarrow as pa
+
+    if len(col) and not pc.all(
+        pc.equal(lens, pa.scalar(dim, type=lens.type))
+    ).as_py():
+        raise ValueError(f"rq rows must all have dim {dim}")
+    flat = col.flatten()
+    if flat.null_count:
+        raise ValueError("rq batch contains NULL elements")
+    return flat.to_numpy(zero_copy_only=False).reshape(-1, dim)
+
+
+def _pq_codes_batch(mat: "np.ndarray", cb_arr: "np.ndarray") -> "np.ndarray":
+    """Vectorized integer PQ encoding of a (B, dim) residual matrix against
+    (n_sub, ksub, dsub) int64 codebooks: exact int64 squared-L2 per code,
+    ``np.argmin`` first-minimum tie-break == smallest code — value-for-value
+    the :func:`_pq_codes_expr` in-plan argmin (pinned by
+    test_pq_codes_batch_equals_expr). Integer arithmetic is
+    order-independent, so this is bit-exact under any batching."""
+    n_sub, ksub, dsub = cb_arr.shape
+    b = mat.shape[0]
+    codes = np.empty((b, n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        x = mat[:, s * dsub:(s + 1) * dsub]
+        diff = x[:, None, :] - cb_arr[s][None, :, :]
+        codes[:, s] = (diff * diff).sum(axis=2).argmin(axis=1)
+    return codes
+
+
+def pq_encode_codes(
+    rq_df: DataFrame, codebooks: list, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, centroid, codes) via ONE vectorized Arrow pass: the encode is
+    pure-integer work (guide §4.2 — batches to numpy beat interpreted
+    per-element HOF lambdas; measured 6.9 s → sub-second for the 100k-row
+    encode pass), bit-identical to the in-plan expression by the integer
+    argument above. Narrow map, zero shuffle."""
+    import pyarrow as pa
+
+    cb_arr = np.array(codebooks, dtype=np.int64)
+    n_sub, _, dsub = cb_arr.shape
+    dim = n_sub * dsub
+    src = rq_df.select(id_col, "centroid", "rq")
+    id_f, cent_f = src.schema[id_col], src.schema["centroid"]
+    out_schema = (
+        f"{id_f.name} {id_f.dataType.simpleString()}, "
+        f"centroid {cent_f.dataType.simpleString()}, codes array<int>"
+    )
+
+    def gen(batches):
+        for b in batches:
+            mat = _rq_batch_matrix(b.column(2), dim)
+            codes = _pq_codes_batch(mat, cb_arr).astype(np.int32)
+            nrows = codes.shape[0]
+            offsets = pa.array(
+                np.arange(0, (nrows + 1) * n_sub, n_sub, dtype=np.int32)
+            )
+            codes_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(codes.reshape(-1), type=pa.int32())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), b.column(1), codes_arr],
+                [id_f.name, "centroid", "codes"],
+            )
+
+    return src.mapInArrow(gen, out_schema)
+
+
+def _pq_component_partials(
+    rq_df: DataFrame, codebooks: list
+) -> DataFrame:
+    """Per-batch (sub, code, pos, s, n) component partials for one PQ Lloyd
+    update round, computed vectorized (np.add.at scatter) — the manual
+    map-side combine: each Arrow batch ships at most n_sub·ksub·dsub
+    bounded partial rows instead of posexploding dim× corpus rows through
+    the aggregation (r9; exact-integer sums are order-independent, so the
+    merged totals are bit-identical to the exploded groupBy)."""
+    import pyarrow as pa
+
+    cb_arr = np.array(codebooks, dtype=np.int64)
+    n_sub, ksub, dsub = cb_arr.shape
+    dim = n_sub * dsub
+
+    def gen(batches):
+        for b in batches:
+            mat = _rq_batch_matrix(b.column(0), dim)
+            codes = _pq_codes_batch(mat, cb_arr)
+            sums = np.zeros((n_sub, ksub, dsub), dtype=np.int64)
+            cnts = np.zeros((n_sub, ksub), dtype=np.int64)
+            for s in range(n_sub):
+                np.add.at(sums[s], codes[:, s], mat[:, s * dsub:(s + 1) * dsub])
+                np.add.at(cnts[s], codes[:, s], 1)
+            nz = np.nonzero(cnts)  # only groups with members, like the groupBy
+            subs, cods = nz
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(subs, dsub).astype(np.int32)),
+                    pa.array(np.repeat(cods, dsub).astype(np.int32)),
+                    pa.array(np.tile(np.arange(dsub, dtype=np.int32), len(subs))),
+                    pa.array(sums[subs, cods].reshape(-1)),
+                    pa.array(np.repeat(cnts[subs, cods], dsub)),
+                ],
+                ["sub", "code", "pos", "s", "n"],
+            )
+
+    return rq_df.select("rq").mapInArrow(
+        gen, "sub int, code int, pos int, s long, n long"
+    )
+
+
 def pq_residuals(
     emb: DataFrame,
     cents: DataFrame,
@@ -1091,20 +1297,14 @@ def pq_train_codebooks(
         for s in range(n_sub)
     ]
     for _ in range(iters):
-        coded = rq_df.selectExpr(
-            "rq", f"{_pq_codes_expr('rq', codebooks, dsub)} AS __codes"
-        )
-        longf = coded.select(
-            "__codes", F.posexplode("rq").alias("pos", "q")
-        ).selectExpr(
-            f"CAST(pos div {dsub} AS INT) AS sub",
-            f"element_at(__codes, CAST(pos div {dsub} AS INT) + 1) AS code",
-            f"CAST(pos % {dsub} AS INT) AS pos",
-            "q",
-        )
+        # vectorized assign + per-batch scatter partials (exact integer
+        # sums under any batching), merged by one bounded aggregation —
+        # replaces the dim×-corpus posexplode + the interpreted
+        # per-element distance lambdas (r9; guide §4.2)
         sums = (
-            longf.groupBy("sub", "code", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            _pq_component_partials(rq_df, codebooks)
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         acc = {}
@@ -1130,12 +1330,19 @@ def write_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    materialize_input: bool = True,
 ) -> None:
     """Materialize the IVFPQ index: codes-only rows partitioned by coarse
     centroid (``(id, codes)`` — the embedding column never enters the
     index), plus the centroid table and the trained codebooks
-    (``(sub, code, pos, q)`` long form) beside it."""
+    (``(sub, code, pos, q)`` long form) beside it.
+
+    ``materialize_input``: same contract and rationale as
+    :func:`write_ivf_index` (the input feeds seeds + lloyd_iters rounds +
+    the residual-quantization pass)."""
     emb = valid_embeddings(emb, vec_col)
+    if materialize_input:
+        emb = emb.select(id_col, vec_col).localCheckpoint(eager=True)
     if cents is None:
         cents = ivf_centroids(emb, k, id_col, vec_col)
     if lloyd_iters:
@@ -1149,8 +1356,6 @@ def write_ivf_pq_index(
         if "empty" in str(e):
             raise ValueError("cannot build an IVFPQ index over an empty input") from e
         raise
-    # dsub from the trained artifact — no extra `.first()` job (r9)
-    dsub = len(codebooks[0][0])
     spark = emb.sparkSession
     cents.write.mode("overwrite").parquet(path + "_centroids")
     cmq.write.mode("overwrite").parquet(path + "_cmeans")
@@ -1178,9 +1383,8 @@ def write_ivf_pq_index(
     # writer parallelism near the shuffle partition count instead of
     # collapsing onto k tasks (r9; guide §2.5). The shuffle moves 8-byte
     # code rows, not embeddings, so it is cheap at any corpus size.
-    rq.selectExpr(
-        id_col, "centroid", f"{_pq_codes_expr('rq', codebooks, dsub)} AS codes"
-    ).repartition(
+    # Encoding itself is the vectorized Arrow pass (pq_encode_codes).
+    pq_encode_codes(rq, codebooks, id_col).repartition(
         F.col("centroid"), _write_salt_col(spark, id_col)
     ).write.mode("overwrite").partitionBy("centroid").parquet(path)
 

@@ -470,3 +470,63 @@ def test_pq_residuals_bounded_for_contract_valid_giant_components(spark):
     bound = 2 * PQ_X0_CLAMP * (1 << 20)  # |xq| ≤ clamp·2^20/r + mean slack
     for r in rows:
         assert all(abs(v) <= bound for v in r["rq"]), r
+
+
+def test_vectorized_kernels_equal_inplan_exprs(spark, emb):
+    """r9 parity pin: the vectorized Arrow kernels (_assign_batch,
+    _pq_codes_batch) must reproduce the in-plan expressions bit-for-bit —
+    the float dot accumulates sequentially across dims (the exact
+    zip_with fold order) and the integer PQ distances/argmin are
+    order-independent, so any divergence is a bug."""
+    from sketchlib.similarity import (
+        _assign_batch,
+        _assign_expr,
+        _centroid_rows,
+        _pq_codes_batch,
+        _pq_codes_expr,
+        ivf_centroids,
+        valid_embeddings,
+    )
+
+    ve = valid_embeddings(emb).select("vec_id", "embedding")
+    cents = ivf_centroids(ve, k=8)
+    rows = _centroid_rows(cents)
+    # in-plan assignment (cid values)
+    plan = {
+        r["vec_id"]: r["cid"]
+        for r in ve.select(
+            "vec_id",
+            _assign_expr("embedding", rows, cents.schema["cid"].dataType).alias("cid"),
+        ).collect()
+    }
+    got = ve.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in got], dtype=np.float64)
+    bi = _assign_batch(mat, np.array([c for _, c in rows], dtype=np.float64))
+    for r, i in zip(got, bi):
+        assert plan[r["vec_id"]] == rows[int(i)][0]
+
+    # integer PQ codes: quantized-ish residual stand-in + toy codebooks
+    rq_df = ve.selectExpr(
+        "vec_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " x -> CAST(floor(x * 1048576) AS BIGINT)) AS rq",
+    )
+    n_sub, ksub = 8, 4
+    dim = len(got[0]["embedding"])
+    dsub = dim // n_sub
+    cb = [
+        [[(s * 131 + c * 17 + d * 7) % 2000 - 1000 for d in range(dsub)]
+         for c in range(ksub)]
+        for s in range(n_sub)
+    ]
+    plan_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in rq_df.selectExpr(
+            "vec_id", f"{_pq_codes_expr('rq', cb, dsub)} AS codes"
+        ).collect()
+    }
+    rq_rows = rq_df.orderBy("vec_id").collect()
+    rq_mat = np.array([r["rq"] for r in rq_rows], dtype=np.int64)
+    np_codes = _pq_codes_batch(rq_mat, np.array(cb, dtype=np.int64))
+    for r, cs in zip(rq_rows, np_codes):
+        assert plan_codes[r["vec_id"]] == [int(x) for x in cs]

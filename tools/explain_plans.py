@@ -277,7 +277,6 @@ def main():
 
     from sketchlib.similarity import (
         _lloyd_comp,
-        _pq_codes_expr,
         ivf_assign,
         ivf_centroids,
     )
@@ -303,24 +302,34 @@ def main():
 
     _crows = _centroid_rows(_cents)
     show(
-        # one Lloyd round's corpus work (pre-collect builder): the ONLY
-        # exchange is the bounded (cid, pos) component aggregate, map-side
-        # combined — the old per-round vec_id window + collect_list
-        # shuffles are gone (r9)
-        "Lloyd round component aggregate (one bounded map-side-combined exchange)",
+        # one Lloyd round's corpus work (pre-collect builder): ONE
+        # vectorized Arrow pass (assign + quantize + per-batch scatter
+        # partials — the manual map-side combine, ≤ k·dim rows per batch)
+        # merged by ONE bounded (cidx, pos) exchange — the old per-round
+        # vec_id window + collect_list shuffles are gone (r9), and the
+        # embedding column never reaches any exchange
+        "Lloyd round component aggregate (Arrow pass + one bounded exchange)",
         _lloyd_comp(emb, _crows, _cents.schema["cid"].dataType, "embedding"),
         checks=[
-            ("exactly one exchange, keyed on (__c, pos)",
+            ("exactly one exchange, keyed on (cidx, pos)",
              lambda p: p.count("Exchange hashpartitioning") == 1
-             and re.search(r"hashpartitioning\(__c#\d+L?, pos#\d+", p) is not None),
-            ("map-side partial sum", lambda p: "partial_sum" in p),
+             and re.search(r"hashpartitioning\(cidx#\d+, pos#\d+", p) is not None),
+            ("map-side partial sum over the bounded partials",
+             lambda p: "partial_sum" in p),
             ("no window operator", lambda p: "Window" not in p),
+            ("assign+scatter is one vectorized Arrow map",
+             lambda p: p.count("MapInArrow") == 1),
             ("no embedding column below the exchange",
              lambda p: not re.search(r"hashpartitioning\([^)\n]*embedding#", p)),
+            ("scan prunes to the embedding column",
+             lambda p: "ReadSchema: struct<embedding:array<float>>" in p),
         ],
     )
+    from sketchlib.similarity import _pq_component_partials, pq_encode_codes
+
     _rq_like = emb.selectExpr(
         "vec_id",
+        "CAST(0 AS BIGINT) AS centroid",
         "transform(CAST(embedding AS ARRAY<DOUBLE>),"
         " x -> CAST(floor(x * 1048576) AS BIGINT)) AS rq",
     )
@@ -329,16 +338,33 @@ def main():
         for s in range(2)
     ]
     show(
-        # the PQ encode/training projection: zero-exchange, and each
-        # subspace's ksub-distance array is referenced ONCE by the argmin
-        # fold (r9 — it used to appear twice via array_position+array_min,
-        # doubling codegen size and per-row distance work)
-        "PQ codes projection (zero exchange, single-pass argmin fold)",
-        _rq_like.selectExpr("vec_id", f"{_pq_codes_expr('rq', _toy_cb, 8)} AS codes"),
+        # the PQ encode pass: one vectorized Arrow map (exact int64
+        # distances, np.argmin first-min == the _pq_codes_expr tie rule —
+        # parity pinned in tests), zero shuffle, codes-only output
+        "PQ encode (one vectorized Arrow map, zero exchange)",
+        pq_encode_codes(_rq_like, _toy_cb),
         checks=[
             ("no exchange at all", lambda p: "Exchange" not in p),
-            ("each codebook literal appears exactly once",
-             lambda p: p.count("999983") == 1),
+            ("exactly one Arrow map", lambda p: p.count("MapInArrow") == 1),
+        ],
+    )
+    show(
+        # one PQ training round's corpus work: vectorized assign +
+        # per-batch scatter partials (≤ n_sub·ksub·dsub rows per batch),
+        # merged by one bounded exchange — replaces the dim×-corpus
+        # posexplode through the aggregation (r9)
+        "PQ training partials (Arrow pass, bounded rows per batch)",
+        _pq_component_partials(_rq_like, _toy_cb)
+        .groupBy("sub", "code", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n")),
+        checks=[
+            ("exactly one exchange, keyed on (sub, code, pos)",
+             lambda p: p.count("Exchange hashpartitioning") == 1
+             and re.search(r"hashpartitioning\(sub#\d+, code#\d+, pos#\d+", p)
+             is not None),
+            ("map-side partial sum", lambda p: "partial_sum" in p),
+            ("exactly one Arrow map", lambda p: p.count("MapInArrow") == 1),
+            ("no posexplode of the residual array", lambda p: "Generate" not in p),
         ],
     )
 
