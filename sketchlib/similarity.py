@@ -1155,6 +1155,51 @@ def _pq_component_partials(
     )
 
 
+def _xq_arrow(
+    emb: DataFrame, rows: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cidx, __xq): assignment + the engine-exact normalized-quantized
+    domain in ONE vectorized Arrow pass — every step has an exact numpy
+    counterpart of the in-plan expression chain (pinned transitively by the
+    bit-dump equivalence): the float64 dot is the sequential fold
+    (:func:`_assign_batch`), floor(x·2^20) is an exact power-of-two scale,
+    the clamp bounds the exact int64 norm², int64→double rounds to nearest
+    in both engines, np.sqrt/np.floor are IEEE, and np.floor_divide FLOORS
+    exactly like the guarded in-plan division. Returns the centroid as its
+    INDEX into the cid-ascending ``rows`` (the caller re-attaches the cid
+    value as a literal lookup — type-agnostic)."""
+    import pyarrow as pa
+
+    cv_arr = np.array([cvn for _, cvn in rows], dtype=np.float64)
+    S = float(PQ_QSCALE)
+    B = PQ_X0_CLAMP
+    id_f = emb.schema[id_col]
+
+    def gen(batches):
+        for b in batches:
+            mat = _emb_batch_matrix(b.column(1))
+            if mat.shape[0] == 0:
+                continue
+            bi = _assign_batch(mat, cv_arr)
+            x0 = np.clip(np.floor(mat * S), -float(B), float(B)).astype(np.int64)
+            n2 = (x0 * x0).sum(axis=1)
+            r = np.maximum(
+                np.int64(1), np.floor(np.sqrt(n2.astype(np.float64))).astype(np.int64)
+            )
+            xq = np.floor_divide(x0 * PQ_QSCALE, r[:, None])
+            nrows, dim = xq.shape
+            offsets = pa.array(np.arange(0, (nrows + 1) * dim, dim, dtype=np.int32))
+            xq_arr = pa.ListArray.from_arrays(offsets, pa.array(xq.reshape(-1)))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(bi.astype(np.int32)), xq_arr],
+                [id_f.name, "cidx", "__xq"],
+            )
+
+    return emb.select(id_col, vec_col).mapInArrow(
+        gen, f"{id_f.name} {id_f.dataType.simpleString()}, cidx int, __xq array<bigint>"
+    )
+
+
 def pq_residuals(
     emb: DataFrame,
     cents: DataFrame,
@@ -1189,35 +1234,17 @@ def pq_residuals(
     float comparisons. r is clamped to ≥ 1: a valid-contract vector with
     norm < ~2^-10 quantizes to near-zero x0 and earns deterministic
     (garbage-but-defined) codes rather than a divide-by-zero."""
-    assigned = ivf_assign(emb, cents, id_col, vec_col)
-    S = float(PQ_QSCALE)
-    B = PQ_X0_CLAMP
+    # ONE vectorized Arrow pass computes assignment + the whole quantized
+    # domain (r9 — the interpreted per-element chain dominated this pass;
+    # exact-semantics argument in _xq_arrow); the centroid VALUE re-attaches
+    # as a literal index lookup (type-agnostic, zero shuffle)
+    rows = _centroid_rows(cents)
+    ct = cents.schema["cid"].dataType.simpleString()
+    cid_arr = "array(" + ", ".join(_sql_cid_lit(c, ct) for c, _ in rows) + ")"
     xq = (
-        assigned.select(
-            id_col,
-            "centroid",
-            F.expr(
-                f"transform(CAST({vec_col} AS ARRAY<DOUBLE>),"
-                f" x -> greatest(CAST(-{B} AS BIGINT), least(CAST({B} AS BIGINT),"
-                f" CAST(floor(x * {S}D) AS BIGINT))))"
-            ).alias("__x0"),
-        )
+        _xq_arrow(emb, rows, id_col, vec_col)
         .selectExpr(
-            id_col,
-            "centroid",
-            "__x0",
-            "greatest(CAST(1 AS BIGINT), CAST(floor(sqrt(CAST("
-            "aggregate(transform(__x0, a -> a * a), CAST(0 AS BIGINT),"
-            " (acc, t) -> acc + t) AS DOUBLE))) AS BIGINT)) AS __r",
-        )
-        .selectExpr(
-            id_col,
-            "centroid",
-            # exact floor division (a·2^20 may be negative; Spark div
-            # truncates toward zero — the CLAUDE.md div-vs-floor trap)
-            f"transform(__x0, a -> (a * {PQ_QSCALE}) div __r"
-            f" - (CASE WHEN (a * {PQ_QSCALE}) % __r != 0 AND a < 0"
-            " THEN 1 ELSE 0 END)) AS __xq",
+            id_col, f"element_at({cid_arr}, cidx + 1) AS centroid", "__xq"
         )
         .localCheckpoint(eager=True)
     )
